@@ -1,0 +1,90 @@
+"""Token-level cross-entropy losses.
+
+Replaces the reference's `robust_cross_entropy`
+(/root/reference/sparse_vae/core/language_model.py:161-170), which chunked
+logits above 2^30 elements to dodge int32 CUDA kernel limits. On TPU the
+equivalent memory problem is materializing the [B, L, 32768] logits tensor for
+100k-token documents, so `chunked_cross_entropy` fuses the output projection
+with the loss over sequence chunks inside a `lax.scan` — logits for only one
+chunk ever exist, and XLA fuses projection + log-softmax + gather per chunk.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def token_nll(logits, labels, reduce: bool = True):
+    """Mean negative log-likelihood over non-pad tokens (pad label == 0).
+
+    Matches F.cross_entropy(..., ignore_index=0) semantics
+    (language_model.py:164). logits: [..., L, V], labels: [..., L] int.
+    """
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(log_probs, labels[..., None], axis=-1)[..., 0]
+    mask = (labels != 0).astype(jnp.float32)
+    if not reduce:
+        return nll * mask, mask
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def bits_per_byte(nll_sum, num_bytes):
+    """Convert a summed token NLL (nats) into bits per byte.
+
+    The reference logged `val_bpb` via a byte-weighted cross entropy
+    (language_model.py:106-110); we compute the standard definition
+    total_nats / total_bytes / ln(2) directly, which is what the metric means.
+    """
+    return nll_sum / jnp.maximum(num_bytes, 1.0) / jnp.log(2.0)
+
+
+def chunked_cross_entropy(
+    hidden: jax.Array,
+    project_fn: Callable[[jax.Array], jax.Array],
+    labels: jax.Array,
+    chunk_size: int = 2048,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused output-projection + CE over sequence chunks.
+
+    hidden: [B, L, D] decoder states; project_fn maps [B, C, D] -> [B, C, V]
+    logits; labels: [B, L]. Returns (nll_sum, token_count) reduced over all
+    non-pad positions. L is padded up to a chunk multiple internally (padding
+    labels are 0 and therefore ignored).
+    """
+    b, length, d = hidden.shape
+    num_chunks = -(-length // chunk_size)
+    padded = num_chunks * chunk_size
+    if padded != length:
+        hidden = jnp.pad(hidden, ((0, 0), (0, padded - length), (0, 0)))
+        labels = jnp.pad(labels, ((0, 0), (0, padded - length)))
+
+    hidden = hidden.reshape(b, num_chunks, chunk_size, d).swapaxes(0, 1)
+    labels = labels.reshape(b, num_chunks, chunk_size).swapaxes(0, 1)
+
+    def body(carry, chunk):
+        nll_sum, count = carry
+        h, y = chunk
+        logits = project_fn(h)
+        log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(log_probs, y[..., None], axis=-1)[..., 0]
+        mask = (y != 0).astype(jnp.float32)
+        return (nll_sum + jnp.sum(nll * mask), count + jnp.sum(mask)), None
+
+    (nll_sum, count), _ = jax.lax.scan(
+        body, (jnp.zeros([], jnp.float32), jnp.zeros([], jnp.float32)),
+        (hidden, labels))
+    return nll_sum, count
+
+
+def sequence_log_likelihood(logits, labels):
+    """Per-sequence summed log p(x) with pad positions zeroed.
+
+    Equivalent of ContinuousVAE.p_of_x_given_z's gather
+    (continuous_autoencoder.py:83-88): returns [...,] log-likelihood summed
+    over the length axis, treating label 0 as padding.
+    """
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ll = jnp.take_along_axis(log_probs, labels[..., None], axis=-1)[..., 0]
+    return jnp.sum(jnp.where(labels != 0, ll, 0.0), axis=-1)

@@ -1,0 +1,135 @@
+"""Rectified Adam (with optional LAMB trust-ratio mode) for optax.
+
+Re-implements the reference optimizer semantics
+(/root/reference/sparse_vae/core/rectified_adam.py) as a pure optax
+GradientTransformation:
+
+- variance-rectification term rho_t with SGD-momentum fallback while
+  rho_t <= 4 (rectified_adam.py:30-37,58-67);
+- the rectified lr multiplier r_t * sqrt(1 - b2^t) applied to both the Adam
+  update and the decoupled weight decay (:38,82);
+- optional LAMB layer-wise trust-ratio normalization, clamping the parameter
+  norm into [0.01, 10] (:73-80);
+- a single global step counter (the reference used one step per param group).
+
+The returned updates already include the learning rate and sign, so apply with
+``optax.apply_updates`` directly.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Union
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class RAdamState(NamedTuple):
+    count: jax.Array   # int32 scalar, number of completed steps
+    exp_avg: optax.Updates
+    exp_avg_sq: optax.Updates
+
+
+ScalarOrSchedule = Union[float, Callable]
+
+
+def radam(
+    learning_rate: ScalarOrSchedule,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-6,
+    weight_decay: float = 0.01,
+    lamb: bool = False,
+) -> optax.GradientTransformation:
+    """RAdam/LAMB matching the reference's update rule exactly.
+
+    Defaults mirror the reference call site (language_model.py:73:
+    ``RAdam(..., weight_decay=0.01)`` with the optimizer's own
+    betas=(0.9, 0.999), eps=1e-6).
+    """
+
+    def init_fn(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return RAdamState(
+            count=jnp.zeros([], jnp.int32),
+            exp_avg=zeros,
+            exp_avg_sq=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def update_fn(grads, state, params):
+        if params is None:
+            raise ValueError("radam requires params (for weight decay / LAMB)")
+        step = state.count + 1  # 1-indexed like the reference (:26)
+        lr = learning_rate(step) if callable(learning_rate) else learning_rate
+        lr = jnp.asarray(lr, jnp.float32)
+
+        b2_t = b2 ** step.astype(jnp.float32)
+        b1_t = b1 ** step.astype(jnp.float32)
+        bias_correction_v = jnp.sqrt(1.0 - b2_t)
+        bias_correction_m = 1.0 - b1_t
+
+        rho_inf = 2.0 / (1.0 - b2) - 1.0
+        rho_t = rho_inf - 2.0 * step * b2_t / (1.0 - b2_t)
+        rectified = rho_t > 4.0
+        r_t_sq = ((rho_t - 4.0) * (rho_t - 2.0) * rho_inf) / (
+            (rho_inf - 4.0) * (rho_inf - 2.0) * jnp.maximum(rho_t, 1e-6))
+        # Rectified effective lr; falls back to plain lr in the SGD phase.
+        lr_eff = jnp.where(rectified, lr * jnp.sqrt(jnp.abs(r_t_sq)) * bias_correction_v, lr)
+
+        exp_avg = jax.tree.map(
+            lambda m, g: b1 * m + (1.0 - b1) * g, state.exp_avg, grads)
+        exp_avg_sq = jax.tree.map(
+            lambda v, g: b2 * v + (1.0 - b2) * jnp.square(g), state.exp_avg_sq, grads)
+
+        def adam_direction(m, v):
+            denom = jnp.sqrt(v) / bias_correction_v + eps
+            return jnp.where(rectified, m / denom, m) / bias_correction_m
+
+        if lamb:
+            def lamb_update(p, m, v):
+                u = -weight_decay * p - adam_direction(m, v)
+                p_norm = jnp.clip(jnp.linalg.norm(p), 0.01, 10.0)
+                u_norm = jnp.linalg.norm(u)
+                trust = p_norm / jnp.maximum(u_norm, 1e-12)
+                return lr_eff * trust * u
+            updates = jax.tree.map(lamb_update, params, exp_avg, exp_avg_sq)
+        else:
+            def radam_update(p, m, v):
+                # param <- param*(1 - lr_eff*wd) - lr_eff*direction (:82-84)
+                return -lr_eff * (weight_decay * p + adam_direction(m, v))
+            updates = jax.tree.map(radam_update, params, exp_avg, exp_avg_sq)
+
+        return updates, RAdamState(count=step, exp_avg=exp_avg, exp_avg_sq=exp_avg_sq)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(
+    lr: float,
+    lr_decay_steps: int | None,
+    grad_clip_threshold: float,
+    weight_decay: float = 0.01,
+    lamb: bool = False,
+    warmup_steps: int = 0,
+) -> optax.GradientTransformation:
+    """Full training chain: global-norm clip -> RAdam with cosine-decayed lr.
+
+    Matches LanguageModel.configure_optimizers + on_after_backward
+    (language_model.py:68-78,120-122): clip by global norm at
+    `grad_clip_threshold`, then RAdam stepping a per-step cosine schedule.
+    """
+    from ..utils.schedules import cosine_decay_factor, cosine_decay_with_warmup_factor
+
+    if lr_decay_steps:
+        if warmup_steps:
+            schedule = lambda step: lr * cosine_decay_with_warmup_factor(
+                step, lr_decay_steps, warmup_steps)
+        else:
+            schedule = lambda step: lr * cosine_decay_factor(step, lr_decay_steps)
+    else:
+        schedule = lr
+
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip_threshold),
+        radam(schedule, weight_decay=weight_decay, lamb=lamb),
+    )
