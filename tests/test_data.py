@@ -1,0 +1,145 @@
+"""Tests for the data pipeline: tokenizer contract, bucketed token-budget
+batching invariants, and the TextDataModule end-to-end on the synthetic
+corpus."""
+import numpy as np
+import pytest
+
+from sparse_vae_tpu.data.batching import (TextBatch, batch_shapes, collate,
+                                          length_bucket, plan_batches)
+from sparse_vae_tpu.data.datasets import (TokenizedCorpus, synthetic_texts,
+                                          tokenize_texts)
+from sparse_vae_tpu.data.text_data_module import (TextDataModule,
+                                                  TextDataModuleHparams)
+from sparse_vae_tpu.data.tokenizer import (CLS_ID, PAD_ID, SEP_ID,
+                                           bytes_per_token_table,
+                                           train_tokenizer)
+
+
+@pytest.fixture(scope="module")
+def tiny_tokenizer():
+    texts = [d["text"] for d in synthetic_texts(200, seed=1)]
+    return train_tokenizer(iter(texts), vocab_size=512)
+
+
+class TestTokenizer:
+    def test_special_token_ids(self, tiny_tokenizer):
+        vocab = tiny_tokenizer.get_vocab()
+        assert vocab["[PAD]"] == PAD_ID == 0
+        assert vocab["[CLS]"] == CLS_ID == 1
+        assert vocab["[SEP]"] == SEP_ID == 2
+
+    def test_roberta_wrapping(self, tiny_tokenizer):
+        ids = tiny_tokenizer.encode("the cat sat").ids
+        assert ids[0] == CLS_ID and ids[-1] == SEP_ID
+
+    def test_roundtrip(self, tiny_tokenizer):
+        text = "the world of the people"
+        ids = tiny_tokenizer.encode(text).ids
+        assert tiny_tokenizer.decode(ids).strip() == text
+
+    def test_bytes_per_token(self, tiny_tokenizer):
+        table = bytes_per_token_table(tiny_tokenizer, 512)
+        assert table[PAD_ID] == table[CLS_ID] == table[SEP_ID] == 1
+        vocab = tiny_tokenizer.get_vocab()
+        # 'Ġthe' encodes ' the' -> 4 original bytes
+        if "Ġthe" in vocab:
+            assert table[vocab["Ġthe"]] == 4
+
+
+class TestBatching:
+    def test_length_bucket(self):
+        assert length_bucket(1) == 512
+        assert length_bucket(512) == 512
+        assert length_bucket(513) == 1024
+
+    def test_token_budget_invariant(self):
+        rng = np.random.default_rng(0)
+        lengths = rng.integers(30, 5000, size=500)
+        plans = plan_batches(lengths, tokens_per_batch=50_000, rng=rng)
+        for p in plans:
+            assert p.rows * p.bucket_len <= 50_000 or p.rows == 1
+            assert len(p.doc_indices) <= p.rows
+            for i in p.doc_indices:
+                assert lengths[i] <= p.bucket_len
+
+    def test_every_doc_appears_once(self):
+        rng = np.random.default_rng(0)
+        lengths = rng.integers(30, 3000, size=300)
+        plans = plan_batches(lengths, tokens_per_batch=20_000, rng=rng)
+        seen = [i for p in plans for i in p.doc_indices]
+        assert sorted(seen) == list(range(300))
+
+    def test_bounded_shape_count(self):
+        rng = np.random.default_rng(0)
+        lengths = rng.integers(30, 25_000, size=2000)
+        plans = plan_batches(lengths, tokens_per_batch=50_000, rng=rng)
+        shapes = batch_shapes(plans)
+        # <= number of distinct 512-buckets up to 25k
+        assert len(shapes) <= 25_000 // 512 + 1
+        # and each length bucket maps to exactly one shape
+        assert len({s[1] for s in shapes}) == len(shapes)
+
+    def test_collate_pads_with_zero(self):
+        plans = plan_batches([100, 120], tokens_per_batch=2048,
+                             rng=np.random.default_rng(0))
+        assert len(plans) == 1
+        plan = plans[0]
+        docs = [np.arange(3, 103, dtype=np.uint16),
+                np.arange(3, 123, dtype=np.uint16)]
+        docs = [docs[i] for i in np.argsort(plan.doc_indices)]
+        batch = collate(plan, docs, [100, 120])
+        assert batch.token_ids.shape == (plan.rows, 512)
+        assert batch.token_ids.dtype == np.int32
+        # Pad rows and tail positions are zero; mask matches num_tokens
+        assert batch.mask.sum() == batch.num_tokens.sum()
+
+    def test_epoch_determinism_given_seed(self):
+        lengths = np.random.default_rng(1).integers(30, 2000, size=50)
+        p1 = plan_batches(lengths, 10_000, rng=np.random.default_rng(42))
+        p2 = plan_batches(lengths, 10_000, rng=np.random.default_rng(42))
+        assert [p.doc_indices for p in p1] == [p.doc_indices for p in p2]
+
+
+class TestTextDataModule:
+    @pytest.fixture(scope="class")
+    def dm(self, tmp_path_factory):
+        import os
+        cwd = os.getcwd()
+        os.chdir(tmp_path_factory.mktemp("dmwork"))  # tokenizer cache location
+        try:
+            dm = TextDataModule(TextDataModuleHparams(
+                dataset_name="synthetic", synthetic_docs=300, vocab_size=512,
+                tokens_per_batch=4096, min_tokens_per_sample=8,
+                max_tokens_per_sample=2000, test_size=30))
+            dm.prepare_data()
+        finally:
+            os.chdir(cwd)
+        return dm
+
+    def test_splits(self, dm):
+        assert set(dm.splits) == {"train", "test"}
+        assert len(dm.splits["test"]) == 30
+        assert len(dm.splits["train"]) > 100
+
+    def test_batches_static_shapes(self, dm):
+        shapes = set()
+        total_docs = 0
+        for batch in dm.epoch_batches("train", seed=0):
+            assert isinstance(batch, TextBatch)
+            shapes.add(batch.token_ids.shape)
+            total_docs += int((batch.num_tokens > 0).sum())
+            # CLS at position 0 of every real row
+            real = batch.num_tokens > 0
+            assert (batch.token_ids[real, 0] == CLS_ID).all()
+        assert total_docs == len(dm.splits["train"])
+        assert len(shapes) <= 4
+
+    def test_bytes_per_token_table_exists(self, dm):
+        assert dm.bytes_per_token is not None
+        assert dm.bytes_per_token.shape == (512,)
+
+    def test_tokenizer_cache_roundtrip(self, dm, tmp_path):
+        import os
+        from sparse_vae_tpu.data.tokenizer import tokenizer_cache_path
+        # trained in the class fixture's cwd — just confirm API shape
+        assert dm.tokenizer.get_vocab_size() == 512
