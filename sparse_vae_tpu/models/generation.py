@@ -1,0 +1,148 @@
+"""Functional batched decoding state machine.
+
+Pure-pytree re-design of the reference's GenerationState
+(/root/reference/sparse_vae/core/generation.py): a NamedTuple carried through
+`lax.while_loop`, with repetition penalty (1.2, 512-token lookback),
+temperature, top-k, and nucleus top-p=0.9 logit processing — all in static
+shapes. Finished samples are handled by masking (they keep flowing through
+the compute but write [PAD]) instead of the reference's gather-compaction
+(generation.py:74-77), which would need dynamic shapes.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class SamplingParams:
+    """Static decode hyperparameters (generation.py:13-17 defaults)."""
+    top_k: int = 0
+    top_p: float = 0.9
+    temperature: float = 1.0
+    repetition_penalty: float = 1.2
+    repetition_window: int = 512
+
+
+class DecodeState(NamedTuple):
+    tokens: jax.Array   # [B, max_len] int32 output buffer; [CLS] at pos 0
+    index: jax.Array    # scalar int32 — next position to write
+    live: jax.Array     # [B] bool — still-generating samples
+    rng: jax.Array      # PRNG key
+
+
+def init_decode_state(batch_size: int, max_length: int, start_token: int,
+                      rng) -> DecodeState:
+    tokens = jnp.zeros((batch_size, max_length), jnp.int32)
+    tokens = tokens.at[:, 0].set(start_token)
+    return DecodeState(tokens=tokens, index=jnp.asarray(1, jnp.int32),
+                       live=jnp.ones(batch_size, bool), rng=rng)
+
+
+def prev_tokens(state: DecodeState) -> jax.Array:
+    """[B] most recently generated token (generation.py:27-28)."""
+    return jax.lax.dynamic_index_in_dim(
+        state.tokens, state.index - 1, axis=1, keepdims=False)
+
+
+def apply_repetition_penalty(logits, tokens, index, penalty: float,
+                             window: int):
+    """Divide (or multiply, for negatives) the logits of recently generated
+    tokens by `penalty` (generation.py:34-39). Uses a static `window`-sized
+    dynamic slice ending at `index`; out-of-range slots hold [PAD]=0, whose
+    logit penalization is harmless (PAD is never a valid continuation)."""
+    window = min(window, tokens.shape[-1])  # buffers shorter than the window
+    start = jnp.maximum(index - window, 0)
+    prev = jax.lax.dynamic_slice_in_dim(tokens, start, window, axis=1)
+    # Mask out slots at or beyond the write index (they are zeros anyway).
+    prev_logits = jnp.take_along_axis(logits, prev, axis=-1)
+    penalized = jnp.where(prev_logits < 0.0, prev_logits * penalty,
+                          prev_logits / penalty)
+    return jnp.put_along_axis(logits, prev, penalized, axis=-1,
+                              inplace=False)
+
+
+def process_logits(logits, state: DecodeState, params: SamplingParams,
+                   end_token: int) -> DecodeState:
+    """One decode step: penalize/filter/sample, write the token, advance.
+
+    logits: [B, V] for the position `state.index`. Mirrors
+    GenerationState.process_logits (generation.py:30-77) with masking in
+    place of live-sample compaction.
+    """
+    rng, sample_rng = jax.random.split(state.rng)
+
+    if params.repetition_penalty > 1.0:
+        logits = apply_repetition_penalty(
+            logits, state.tokens, state.index, params.repetition_penalty,
+            params.repetition_window)
+
+    greedy = params.temperature <= 0.0 or params.top_k == 1
+    if greedy:
+        token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    else:
+        logits = logits / params.temperature
+
+        if params.top_k > 0:
+            kth = jax.lax.top_k(logits, params.top_k)[0][..., -1:]
+            logits = jnp.where(logits < kth, -jnp.inf, logits)
+
+        if params.top_p < 1.0:
+            sort_idx = jnp.argsort(-logits, axis=-1)
+            sorted_logits = jnp.take_along_axis(logits, sort_idx, axis=-1)
+            probs = jax.nn.softmax(sorted_logits, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            # Remove tokens once cumulative mass exceeds p, but never the
+            # most probable token (generation.py:60-63).
+            remove = cum > params.top_p
+            remove = remove.at[..., 0].set(False)
+            sorted_logits = jnp.where(remove, -jnp.inf, sorted_logits)
+            choice = jax.random.categorical(sample_rng, sorted_logits, axis=-1)
+            token = jnp.take_along_axis(sort_idx, choice[..., None],
+                                        axis=-1)[..., 0].astype(jnp.int32)
+        else:
+            token = jax.random.categorical(sample_rng, logits,
+                                           axis=-1).astype(jnp.int32)
+
+    # Finished samples write [PAD] (the reference wrote nothing; pos stays 0)
+    token = jnp.where(state.live, token, 0)
+    tokens = jax.lax.dynamic_update_slice_in_dim(
+        state.tokens, token[:, None], state.index, axis=1)
+
+    max_len = state.tokens.shape[-1]
+    live = state.live & (token != end_token) & (state.index + 1 < max_len)
+    return DecodeState(tokens=tokens, index=state.index + 1, live=live,
+                       rng=rng)
+
+
+def should_continue(state: DecodeState) -> jax.Array:
+    """while_loop condition (inverse of generation.py:79-80)."""
+    max_len = state.tokens.shape[-1]
+    return (state.index < max_len - 1) & jnp.any(state.live)
+
+
+def final_output(state: DecodeState) -> jax.Array:
+    """Strip the start token (generation.py:82-83)."""
+    return state.tokens[:, 1:]
+
+
+def decode_loop(state: DecodeState, logits_fn, carry, params: SamplingParams,
+                end_token: int):
+    """Generic AR decode: runs `logits_fn(state, carry) -> (logits, carry)`
+    under lax.while_loop until every sample has emitted `end_token` or the
+    buffer is full. The entire loop is one device computation — the TPU
+    replacement for the reference's Python token-at-a-time loop
+    (transformer_vae.py:109-125)."""
+    def cond(loop):
+        return should_continue(loop[0])
+
+    def body(loop):
+        st, cr = loop
+        logits, cr = logits_fn(st, cr)
+        return process_logits(logits, st, params, end_token), cr
+
+    state, carry = jax.lax.while_loop(cond, body, (state, carry))
+    return state, carry

@@ -1,0 +1,272 @@
+"""The training harness.
+
+Replaces the reference's pytorch_lightning.Trainer usage (train.py:94-95 plus
+the callbacks wired in language_model.py:48-55): a host loop around jitted
+gradient/apply steps with
+
+- gradient accumulation across loader batches (Lightning
+  accumulate_grad_batches semantics, train.py:19);
+- sqrt-batch lr scaling + per-step cosine decay, halting when the schedule
+  reaches zero (language_model.py:68-78,135-141 — we stop cleanly instead of
+  raising KeyboardInterrupt);
+- validation with token-weighted val_nll / val_bpb, early stopping (min
+  mode), best-metric checkpointing (Orbax), and the periodic
+  text-sampling/BLEU callback (text_sampling_callback.py);
+- optional data-parallel sharding over a jax Mesh (batch sharded on the
+  'data' axis, params replicated — XLA inserts the grad psum; SURVEY §2.10).
+
+Each distinct batch shape triggers one compile; the bucketed batcher bounds
+that set.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.text_data_module import TextDataModule
+from ..utils.config import TrainerHparams, to_dict
+from ..utils.math_utils import bleu_score_corpus
+from ..utils.metrics import MetricsWriter
+from ..utils.schedules import scaled_lr
+from .checkpointing import CheckpointManager, run_dir
+from .objectives import batch_arrays
+from .optimizer import make_optimizer
+
+
+@dataclass
+class TrainOutcome:
+    step: int
+    best_metric: Optional[float]
+    stopped_reason: str
+    params: Any
+    metrics_history: list
+
+
+class Trainer:
+    def __init__(
+        self,
+        module,
+        model_hparams,
+        objective,
+        data: TextDataModule,
+        trainer_hparams: Optional[TrainerHparams] = None,
+        experiment: str = "model",
+        name: str = "default",
+        log_root: Optional[Path] = None,
+        sample_fn: Optional[Callable] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        enable_logging: bool = True,
+    ):
+        self.module = module
+        self.hp = model_hparams
+        self.objective = objective
+        self.data = data
+        self.thp = trainer_hparams or TrainerHparams()
+        self.experiment = experiment
+        self.name = name
+        self.sample_fn = sample_fn
+        self.mesh = mesh
+
+        self.run_dir = run_dir(experiment, name, log_root)
+        self.writer = MetricsWriter(self.run_dir if enable_logging else None,
+                                    enabled=enable_logging)
+        self.ckpt = CheckpointManager(experiment, name,
+                                      log_root) if enable_logging else None
+
+        tokens_per_step = (self.data.hparams.tokens_per_batch
+                           * self.thp.accumulate_grad_batches)
+        lr = scaled_lr(self.hp.lr, tokens_per_step, self.hp.base_batch_size)
+        self.optimizer = make_optimizer(
+            lr=lr, lr_decay_steps=self.hp.lr_decay_steps,
+            grad_clip_threshold=self.hp.grad_clip_threshold,
+            weight_decay=self.hp.weight_decay, lamb=self.hp.lamb)
+
+        self._grad_step = jax.jit(self._grad_step_impl)
+        self._apply_step = jax.jit(self._apply_step_impl)
+        self._eval_step = jax.jit(self._eval_step_impl)
+        self._batch_sharding = None
+        if mesh is not None:
+            self._batch_sharding = jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec("data"))
+
+    # -- jitted pieces ------------------------------------------------------
+    def _grad_step_impl(self, params, batch, step, rng):
+        def loss_fn(p):
+            return self.objective.loss(self.module, p, batch, step, rng)
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        metrics["loss"] = loss
+        return grads, metrics
+
+    def _apply_step_impl(self, params, opt_state, grads):
+        k = self.thp.accumulate_grad_batches
+        grads = jax.tree.map(lambda g: g / k, grads)
+        grad_norm = optax.global_norm(grads)
+        updates, opt_state = self.optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, grad_norm
+
+    def _eval_step_impl(self, params, batch, rng):
+        return self.objective.eval_stats(self.module, params, batch, rng)
+
+    # -- setup --------------------------------------------------------------
+    def init_state(self, rng):
+        sample = jnp.zeros((1, 128), jnp.int32)
+        params = self.module.init(rng, sample)["params"]
+        opt_state = self.optimizer.init(params)
+        return params, opt_state
+
+    def _put(self, arrays):
+        if self._batch_sharding is None:
+            return arrays
+        return {k: jax.device_put(
+                    v, self._batch_sharding if v.ndim >= 1 else None)
+                for k, v in arrays.items()}
+
+    # -- validation ---------------------------------------------------------
+    def validate(self, params, rng, max_batches: Optional[int] = None
+                 ) -> Dict[str, float]:
+        totals: Dict[str, float] = {}
+        limit = max_batches or self.thp.limit_val_batches
+        for i, batch in enumerate(self.data.epoch_batches("test", seed=0)):
+            if limit is not None and i >= limit:
+                break
+            stats = self._eval_step(params, self._put(batch_arrays(batch)),
+                                    jax.random.fold_in(rng, i))
+            for k, v in stats.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+        return {k: float(v) for k, v in
+                self.objective.reduce_eval(totals).items()}
+
+    # -- sampling callback --------------------------------------------------
+    def _sampling_callback(self, params, step, rng, last_metrics):
+        if self.sample_fn is None or not self.hp.log_samples:
+            return
+        try:
+            tokens = self.sample_fn(self.module, params, rng, step=step)
+        except Exception as e:  # sampling must never kill training
+            self.writer.text("sampling_error", repr(e), step)
+            return
+        if tokens is None:
+            return
+        tokenizer = self.data.tokenizer
+        texts = [tokenizer.decode([int(t) for t in row if t != 0])
+                 for row in np.asarray(tokens)]
+        for text in texts[:2]:
+            self.writer.text("unconditional_sample", text, step)
+
+    # -- the loop -----------------------------------------------------------
+    def fit(self, rng=None, max_epochs: int = 10 ** 9,
+            resume: bool = False) -> TrainOutcome:
+        rng = rng if rng is not None else jax.random.PRNGKey(self.thp.seed)
+        init_rng, rng = jax.random.split(rng)
+        params, opt_state = self.init_state(init_rng)
+        step = 0
+
+        if resume and self.ckpt is not None:
+            template = {"params": params, "opt_state": opt_state,
+                        "step": step, "rng": rng}
+            restored = self.ckpt.restore(template)
+            params, opt_state = restored["params"], restored["opt_state"]
+            step, rng = int(restored["step"]), restored["rng"]
+
+        k_accum = self.thp.accumulate_grad_batches
+        num_train_batches = max(1, self.data.num_batches("train"))
+        val_every = max(1, int(num_train_batches * self.thp.val_check_interval
+                               / k_accum))
+
+        best_metric, patience_left = None, self.thp.early_stopping_patience
+        history, stopped = [], "max_epochs"
+        grads_acc, micro = None, 0
+        metric_name = self.hp.early_stopping_metric
+        t0, tokens_seen = time.time(), 0
+
+        for epoch in range(max_epochs):
+            for batch in self.data.epoch_batches(
+                    "train", seed=self.thp.seed + epoch):
+                rng, step_rng = jax.random.split(rng)
+                arrays = self._put(batch_arrays(batch))
+                grads, metrics = self._grad_step(
+                    params, arrays, jnp.asarray(step), step_rng)
+                tokens_seen += int(batch.num_tokens.sum())
+                grads_acc = grads if grads_acc is None else jax.tree.map(
+                    jnp.add, grads_acc, grads)
+                micro += 1
+                if micro < k_accum:
+                    continue
+
+                params, opt_state, grad_norm = self._apply_step(
+                    params, opt_state, grads_acc)
+                grads_acc, micro = None, 0
+                step += 1
+
+                if step % self.thp.log_every_n_steps == 0:
+                    logged = {k: float(v) for k, v in metrics.items()}
+                    logged["grad_norm"] = float(grad_norm)
+                    elapsed = max(time.time() - t0, 1e-6)
+                    logged["tokens_per_sec"] = tokens_seen / elapsed
+                    self.writer.scalars(logged, step)
+
+                if step % self.thp.sample_every_n_steps == 0:
+                    rng, s_rng = jax.random.split(rng)
+                    self._sampling_callback(params, step, s_rng, metrics)
+
+                if (self.ckpt is not None
+                        and step % self.thp.checkpoint_every_n_steps == 0):
+                    self._save(params, opt_state, step, rng)
+
+                if step % val_every == 0:
+                    rng, v_rng = jax.random.split(rng)
+                    val_metrics = self.validate(params, v_rng)
+                    self.writer.scalars(val_metrics, step)
+                    history.append({"step": step, **val_metrics})
+                    monitored = val_metrics.get(metric_name)
+                    if monitored is not None:
+                        if best_metric is None or monitored < best_metric:
+                            best_metric = monitored
+                            patience_left = self.thp.early_stopping_patience
+                            if self.ckpt is not None:
+                                self._save(params, opt_state, step, rng,
+                                           best=True)
+                        else:
+                            patience_left -= 1
+                            if patience_left <= 0:
+                                stopped = "early_stopping"
+                                break
+
+                if (self.hp.lr_decay_steps
+                        and step >= self.hp.lr_decay_steps):
+                    stopped = "lr_schedule_complete"
+                    break
+                if self.thp.max_steps and step >= self.thp.max_steps:
+                    stopped = "max_steps"
+                    break
+            else:
+                continue
+            break
+
+        if self.ckpt is not None:
+            self._save(params, opt_state, step, rng)
+        self.writer.close()
+        return TrainOutcome(step=step, best_metric=best_metric,
+                            stopped_reason=stopped, params=params,
+                            metrics_history=history)
+
+    def _save(self, params, opt_state, step, rng, best: bool = False):
+        meta = {
+            "experiment": self.experiment,
+            "name": self.name,
+            "model_hparams": to_dict(self.hp),
+            "data_hparams": to_dict(self.data.hparams),
+            "trainer_hparams": to_dict(self.thp),
+        }
+        self.ckpt.save(step, {"params": params, "opt_state": opt_state,
+                              "step": step, "rng": rng},
+                       meta=meta, best=best)

@@ -1,0 +1,124 @@
+"""Tests for the functional decode state machine (models/generation.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparse_vae_tpu.models.generation import (
+    DecodeState, SamplingParams, apply_repetition_penalty, decode_loop,
+    final_output, init_decode_state, prev_tokens, process_logits,
+    should_continue)
+
+END = 2
+VOCAB = 16
+
+
+def greedy_params():
+    return SamplingParams(temperature=0.0, repetition_penalty=1.0)
+
+
+class TestDecodeState:
+    def test_init(self, rng):
+        st = init_decode_state(3, 10, start_token=1, rng=rng)
+        assert st.tokens.shape == (3, 10)
+        assert (st.tokens[:, 0] == 1).all()
+        assert int(st.index) == 1
+        assert st.live.all()
+        np.testing.assert_array_equal(prev_tokens(st), [1, 1, 1])
+
+    def test_greedy_step_writes_argmax(self, rng):
+        st = init_decode_state(2, 8, 1, rng)
+        logits = jnp.zeros((2, VOCAB)).at[0, 5].set(9.0).at[1, 7].set(9.0)
+        st = process_logits(logits, st, greedy_params(), END)
+        np.testing.assert_array_equal(st.tokens[:, 1], [5, 7])
+        assert int(st.index) == 2
+        assert st.live.all()
+
+    def test_end_token_kills_sample(self, rng):
+        st = init_decode_state(2, 8, 1, rng)
+        logits = jnp.zeros((2, VOCAB)).at[0, END].set(9.0).at[1, 7].set(9.0)
+        st = process_logits(logits, st, greedy_params(), END)
+        np.testing.assert_array_equal(np.asarray(st.live), [False, True])
+        # Dead sample then writes PAD forever
+        st = process_logits(jnp.full((2, VOCAB), 1.0).at[:, 3].set(9.0),
+                            st, greedy_params(), END)
+        assert int(st.tokens[0, 2]) == 0
+        assert int(st.tokens[1, 2]) == 3
+
+    def test_should_continue_false_when_all_dead(self, rng):
+        st = init_decode_state(1, 8, 1, rng)
+        assert bool(should_continue(st))
+        st = st._replace(live=jnp.zeros(1, bool))
+        assert not bool(should_continue(st))
+
+    def test_buffer_full_stops(self, rng):
+        st = init_decode_state(1, 3, 1, rng)
+        st = process_logits(jnp.zeros((1, VOCAB)).at[0, 5].set(9.0),
+                            st, greedy_params(), END)
+        assert not bool(should_continue(st))
+
+    def test_final_output_strips_start(self, rng):
+        st = init_decode_state(1, 4, 1, rng)
+        assert final_output(st).shape == (1, 3)
+
+
+class TestLogitProcessing:
+    def test_repetition_penalty_discourages_repeats(self, rng):
+        st = init_decode_state(1, 16, 1, rng)
+        # Generate token 5 greedily, then check its logit is penalized
+        logits = jnp.zeros((1, VOCAB)).at[0, 5].set(2.0)
+        st = process_logits(logits, st, greedy_params(), END)
+        penalized = apply_repetition_penalty(
+            logits, st.tokens, st.index, penalty=1.2, window=8)
+        assert float(penalized[0, 5]) == pytest.approx(2.0 / 1.2)
+        # Negative logits are multiplied (made more negative)
+        neg = jnp.zeros((1, VOCAB)).at[0, 5].set(-1.0)
+        pen_neg = apply_repetition_penalty(neg, st.tokens, st.index, 1.2, 8)
+        assert float(pen_neg[0, 5]) == pytest.approx(-1.2)
+
+    def test_top_k_restricts_support(self, rng):
+        st = init_decode_state(256, 4, 1, rng)
+        logits = jnp.tile(jnp.arange(VOCAB, dtype=jnp.float32), (256, 1))
+        st = process_logits(logits, st,
+                            SamplingParams(top_k=2, top_p=1.0,
+                                           repetition_penalty=1.0,
+                                           temperature=1.0), END)
+        drawn = set(np.asarray(st.tokens[:, 1]).tolist())
+        assert drawn <= {VOCAB - 1, VOCAB - 2}
+
+    def test_top_p_restricts_support(self, rng):
+        st = init_decode_state(512, 4, 1, rng)
+        # One dominant token (p~0.97) => nucleus 0.9 keeps only it
+        logits = jnp.zeros((512, VOCAB)).at[:, 3].set(5.0)
+        st = process_logits(logits, st,
+                            SamplingParams(top_p=0.9, repetition_penalty=1.0),
+                            END)
+        assert set(np.asarray(st.tokens[:, 1]).tolist()) == {3}
+
+    def test_temperature_flattens(self, rng):
+        st = init_decode_state(2048, 4, 1, rng)
+        logits = jnp.zeros((2048, VOCAB)).at[:, 3].set(2.0)
+        hot = process_logits(logits, st,
+                             SamplingParams(temperature=100.0, top_p=1.0,
+                                            repetition_penalty=1.0), END)
+        frac_3 = float((hot.tokens[:, 1] == 3).mean())
+        assert frac_3 < 0.5  # near-uniform at high temperature
+
+
+class TestDecodeLoop:
+    def test_loop_terminates_and_is_jittable(self, rng):
+        # logits_fn emits END at step 3 deterministically
+        def logits_fn(st, carry):
+            logits = jnp.where(st.index >= 3,
+                               jnp.zeros((2, VOCAB)).at[:, END].set(99.0),
+                               jnp.zeros((2, VOCAB)).at[:, 4].set(99.0))
+            return logits, carry
+
+        @jax.jit
+        def run(key):
+            st = init_decode_state(2, 10, 1, key)
+            st, _ = decode_loop(st, logits_fn, None, greedy_params(), END)
+            return st.tokens
+
+        tokens = np.asarray(run(rng))
+        np.testing.assert_array_equal(tokens[0, :5], [1, 4, 4, END, 0])
