@@ -1,0 +1,54 @@
+"""Perceiver encoder: variable-length sequence -> fixed set of latents.
+
+Flax port of /root/reference/sparse_vae/core/perceiver.py: first layer uses a
+learned-query bank to cross-attend over the input (:16), middle layers
+self-attend over the latents and cross-attend back to the input (:25-28),
+and an optional bottleneck layer compresses to `bottleneck_width` vectors
+(:17-23). num_heads = d_model // 64 (:13).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .transformer_layer import TransformerLayer
+
+
+class Perceiver(nn.Module):
+    num_layers: int
+    num_latents: int
+    d_model: int
+    bottleneck_width: Optional[int] = None
+    init_scale: Optional[float] = 0.02
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        assert self.num_layers > 1
+        num_heads = max(1, self.d_model // 64)
+        common = dict(d_model=self.d_model, num_heads=num_heads,
+                      dtype=self.dtype)
+        self.first_layer = TransformerLayer(
+            learned_queries=self.num_latents, **common)
+        middle = self.num_layers - 1
+        if self.bottleneck_width:
+            self.bottleneck = TransformerLayer(
+                learned_queries=self.bottleneck_width, **common)
+            middle -= 1
+        self.middle_layers = [
+            TransformerLayer(use_cross_attention=True, name=f"middle_{i}",
+                             **common)
+            for i in range(max(middle, 0))
+        ]
+
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        """x: [B, L, D], mask: [B, L] (True = valid). Returns
+        [B, bottleneck_width or num_latents, D]."""
+        z = self.first_layer(x, mask=mask, deterministic=deterministic)
+        for layer in self.middle_layers:
+            z = layer(z, context=x, context_mask=mask,
+                      deterministic=deterministic)
+        if self.bottleneck_width:
+            z = self.bottleneck(z, deterministic=deterministic)
+        return z

@@ -1,0 +1,85 @@
+"""Pre-LN transformer layer with optional cross-attention.
+
+Flax port of /root/reference/sparse_vae/core/transformer_layer.py: self-attn
+-> optional cross-attn (separate LayerNorms for query and context, :35-40)
+-> 4x GELU FFN with bias-free output projection (:17-21) and dropout 0.1
+(:22). The residual is skipped when learned queries change the sequence
+length (:49).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import Attention
+from .base import dense_kernel_init
+
+
+class TransformerLayer(nn.Module):
+    d_model: int
+    num_heads: int
+    causal: bool = False
+    use_cross_attention: bool = False
+    sparse_self_attention: bool = False
+    window_size: int = 2
+    block_size: int = 128
+    learned_queries: Optional[int] = None
+    dropout_rate: float = 0.1
+    use_pallas_kernel: bool = True
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.attention = Attention(
+            d_model=self.d_model, num_heads=self.num_heads,
+            causal=self.causal, sparse=self.sparse_self_attention,
+            window_size=self.window_size, block_size=self.block_size,
+            learned_queries=self.learned_queries,
+            use_pallas_kernel=self.use_pallas_kernel, dtype=self.dtype)
+        init = dense_kernel_init(0.02)
+        self.ffn_in = nn.Dense(self.d_model * 4, kernel_init=init,
+                               dtype=self.dtype)
+        self.ffn_out = nn.Dense(self.d_model, use_bias=False,
+                                kernel_init=init, dtype=self.dtype)
+        self.dropout = nn.Dropout(rate=self.dropout_rate)
+        self.attn_layer_norm = nn.LayerNorm(dtype=self.dtype)
+        self.ffn_layer_norm = nn.LayerNorm(dtype=self.dtype)
+        if self.use_cross_attention:
+            self.cross_attention = Attention(
+                d_model=self.d_model, num_heads=self.num_heads,
+                dtype=self.dtype)
+            self.cross_attn_layer_norm = nn.LayerNorm(dtype=self.dtype)
+            self.context_layer_norm = nn.LayerNorm(dtype=self.dtype)
+
+    def _ffn(self, x, deterministic):
+        y = self.ffn_layer_norm(x)
+        y = self.ffn_out(nn.gelu(self.ffn_in(y)))
+        return x + self.dropout(y, deterministic=deterministic)
+
+    def __call__(self, x, context=None, mask=None, context_mask=None,
+                 deterministic: bool = True):
+        """x: [B, L, D]; mask: [B, L] key-padding mask (True = valid);
+        context: [B, Lc, D] for cross-attention."""
+        y = self.attn_layer_norm(x)
+        y = self.attention(y, y, kv_mask=mask)
+        x = x + y if x.shape == y.shape else y  # learned queries change L
+
+        if self.use_cross_attention and context is not None:
+            ctx = self.context_layer_norm(context)
+            y = self.cross_attn_layer_norm(x)
+            y = self.cross_attention(y, ctx, kv_mask=context_mask)
+            x = x + y
+
+        return self._ffn(x, deterministic)
+
+    def decode(self, x_t, cache, index):
+        """One-token step against this layer's KV cache (no cross-attn path
+        at decode — matches reference usage where context is None)."""
+        y = self.attn_layer_norm(x_t)
+        y, cache = self.attention.decode(y, cache, index)
+        x = x_t + y
+        return self._ffn(x, True), cache
+
+    def init_cache(self, batch_size: int, max_length: int):
+        return self.attention.init_cache(batch_size, max_length)

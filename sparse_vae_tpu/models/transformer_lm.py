@@ -1,0 +1,153 @@
+"""Decoder-only causal transformer language model.
+
+Flax re-design of /root/reference/sparse_vae/core/transformer_language_model.py:
+factorized input embedding (d_embedding -> d_model projection when they
+differ, :40-48), output head Dense -> GELU -> LayerNorm -> tied logits
+(:55-63), causal decoder stack with optional sliding-window block-sparse
+self-attention, per-layer gradient rematerialization (jax.checkpoint via
+nn.remat), and a fully on-device KV-cache sampling loop replacing the
+reference's Python token loop (:97-124). The debug breakpoint()s in the
+reference forward (:87,92) are, naturally, not reproduced.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .base import LanguageModelHparams, dense_kernel_init, embed_init
+from .generation import (DecodeState, SamplingParams, decode_loop,
+                         final_output, init_decode_state, prev_tokens)
+from .transformer_layer import TransformerLayer
+
+
+@dataclass
+class TransformerHparams(LanguageModelHparams):
+    """transformer_language_model.py:15-30 (+ TPU block geometry)."""
+    d_embedding: Optional[int] = None   # None => d_model
+    d_model: int = 512
+    num_heads: int = 8
+    num_layers: int = 6
+    input_dropout: float = 0.0
+    tie_embedding_weights: bool = True
+    cross_attention: bool = False
+    grad_checkpointing: bool = False
+    separate_context_embedding: bool = True
+    attn_window_size: int = 2           # in block_size blocks (TPU-native)
+    attn_block_size: int = 128
+    sparse_self_attention: bool = True
+    loss_chunk_size: int = 0            # >0: chunked fused projection+CE
+    use_pallas_kernel: bool = True
+    precision: str = "fp32"             # 'bf16' for TPU training
+
+
+class TransformerLanguageModel(nn.Module):
+    hparams: TransformerHparams
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.hparams.precision == "bf16" \
+            else jnp.float32
+
+    def setup(self):
+        hp = self.hparams
+        d_embedding = hp.d_embedding or hp.d_model
+        self.input_embedding = nn.Embed(
+            hp.vocab_size, d_embedding,
+            embedding_init=embed_init(hp.init_scale))
+        self.embedding_projection = (
+            nn.Dense(hp.d_model, kernel_init=dense_kernel_init(hp.init_scale),
+                     dtype=self.dtype)
+            if d_embedding != hp.d_model else None)
+        self.input_dropout_layer = nn.Dropout(rate=hp.input_dropout)
+
+        layer_cls = TransformerLayer
+        if hp.grad_checkpointing:
+            layer_cls = nn.remat(TransformerLayer,
+                                 static_argnums=(5,))  # deterministic flag
+                                 # (self is arg 0 in flax remat numbering)
+        self.decoder_layers = [
+            layer_cls(d_model=hp.d_model, num_heads=hp.num_heads,
+                      causal=True,
+                      sparse_self_attention=hp.sparse_self_attention,
+                      window_size=hp.attn_window_size,
+                      block_size=hp.attn_block_size,
+                      use_cross_attention=hp.cross_attention,
+                      use_pallas_kernel=hp.use_pallas_kernel,
+                      dtype=self.dtype, name=f"layer_{i}")
+            for i in range(hp.num_layers)
+        ]
+
+        # Output head: Dense -> GELU -> LN -> logits (tied) (:55-63)
+        self.head_dense = nn.Dense(
+            hp.d_model, kernel_init=dense_kernel_init(hp.init_scale),
+            dtype=self.dtype)
+        self.head_norm = nn.LayerNorm(dtype=self.dtype)
+        tie = hp.tie_embedding_weights and d_embedding == hp.d_model
+        self.tie_output = tie
+        if not tie:
+            self.output_embedding = nn.Dense(
+                hp.vocab_size, kernel_init=dense_kernel_init(hp.init_scale),
+                dtype=self.dtype)
+        else:
+            self.output_bias = self.param(
+                "output_bias", nn.initializers.zeros, (hp.vocab_size,))
+
+    # -- pieces -------------------------------------------------------------
+    def embed(self, token_ids, deterministic: bool = True):
+        x = self.input_embedding(token_ids).astype(self.dtype)
+        if self.embedding_projection is not None:
+            x = self.embedding_projection(x)
+        return self.input_dropout_layer(x, deterministic=deterministic)
+
+    def project(self, h):
+        """Pre-logits head + output projection; [B, ..., D] -> [..., V]."""
+        h = self.head_norm(nn.gelu(self.head_dense(h)))
+        if self.tie_output:
+            table = self.input_embedding.embedding.astype(self.dtype)
+            return h @ table.T + self.output_bias
+        return self.output_embedding(h)
+
+    def forward_hidden(self, token_ids, deterministic: bool = True):
+        """Decoder stack output before the logits head — the chunked-CE
+        entry point for long documents."""
+        x = self.embed(token_ids, deterministic)
+        mask = token_ids != 0
+        for layer in self.decoder_layers:
+            x = layer(x, None, mask, None, deterministic)
+        return x
+
+    def __call__(self, token_ids, deterministic: bool = True):
+        return self.project(self.forward_hidden(token_ids, deterministic))
+
+    # -- sampling -----------------------------------------------------------
+    def init_caches(self, batch_size: int, max_length: int):
+        return [layer.init_cache(batch_size, max_length)
+                for layer in self.decoder_layers]
+
+    def decode_step(self, token, caches, index):
+        x = self.embed(token[:, None])
+        new_caches = []
+        for layer, cache in zip(self.decoder_layers, caches):
+            x, cache = layer.decode(x, cache, index)
+            new_caches.append(cache)
+        return self.project(x[:, 0]), new_caches
+
+    def sample(self, rng, max_length: int, batch_size: int = 1,
+               sampling: SamplingParams = SamplingParams(),
+               start_token: int = 1, end_token: int = 2):
+        """AR sampling with explicit KV caches inside one lax.while_loop
+        (replaces Attention.kv_cache class-state, attention.py:148-162)."""
+        state = init_decode_state(batch_size, max_length, start_token, rng)
+        caches = self.init_caches(batch_size, max_length)
+
+        def logits_fn(st: DecodeState, caches):
+            logits, caches = self.decode_step(
+                prev_tokens(st), caches, st.index - 1)
+            return logits.astype(jnp.float32), caches
+
+        state, _ = decode_loop(state, logits_fn, caches, sampling, end_token)
+        return final_output(state)

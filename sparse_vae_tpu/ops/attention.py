@@ -1,0 +1,231 @@
+"""Multi-head attention: dense path, sliding-window mask semantics, KV-cache
+decode — the flax counterpart of /root/reference/sparse_vae/core/attention.py.
+
+The block-sparse sliding-window pattern (sparse_attention.py:38-59: banded
+blocks around the diagonal plus an always-attend first block for [CLS]) is
+defined here once as `sliding_window_block_mask`; the dense path applies it
+as a mask (exact semantics, the Pallas kernel's oracle) and
+ops/sliding_window_attention.py computes the same thing without materializing
+the masked score matrix.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..models.base import dense_kernel_init
+from .rotary import apply_rotary
+
+NEG_INF = -1e9  # bf16-safe large negative (the reference used -1e7 fp16)
+
+
+def sliding_window_block_mask(num_q: int, num_k: int, block_size: int,
+                              window_size: int, causal: bool = True,
+                              include_cls: bool = True,
+                              q_offset: int = 0):
+    """[num_q, num_k] bool mask (True = may attend) with block granularity.
+
+    Mirrors SparseAttention.get_master_layout (sparse_attention.py:38-59):
+    for causal layouts the band is `window_size` blocks ending at the
+    diagonal; bidirectional splits the window around it (left = ceil,
+    right = floor per the divmod rounding :46-48). include_cls opens the
+    first block column. q_offset shifts the query block row (decode).
+    """
+    qb = jnp.arange(num_q) + q_offset
+    kb = jnp.arange(num_k)
+    delta = qb[:, None] - kb[None, :]
+
+    num_sides = 1 if causal else 2
+    left = (window_size + num_sides - 1) // num_sides  # round up (:46)
+    right = window_size - left
+    # Allowed block deltas: 0..left-1 behind the diagonal, 1..right ahead
+    # (ahead only when bidirectional; right == 0 for causal).
+    mask = (delta >= -right) & (delta < left)
+    if include_cls:
+        mask = mask | (kb[None, :] == 0)
+    if causal:
+        mask = mask & (delta >= 0)
+    return mask
+
+
+def sliding_window_token_mask(q_len: int, k_len: int, block_size: int,
+                              window_size: int, causal: bool = True,
+                              include_cls: bool = True):
+    """Token-level [q_len, k_len] expansion of the block mask, intersected
+    with the causal triangle inside diagonal blocks."""
+    nq, nk = -(-q_len // block_size), -(-k_len // block_size)
+    blocks = sliding_window_block_mask(nq, nk, block_size, window_size,
+                                       causal, include_cls)
+    mask = jnp.repeat(jnp.repeat(blocks, block_size, 0), block_size, 1)
+    mask = mask[:q_len, :k_len]
+    if causal:
+        qi = jnp.arange(q_len)[:, None]
+        ki = jnp.arange(k_len)[None, :]
+        mask = mask & (ki <= qi)
+    return mask
+
+
+def dense_attention(q, k, v, mask=None):
+    """Masked scaled-dot-product attention.
+
+    q: [B, H, Lq, D], k/v: [B, H, Lk, D]; mask broadcastable to
+    [B, H, Lq, Lk], True = attend. Softmax in fp32 regardless of input dtype
+    (bf16-safe), matmuls on the MXU.
+    """
+    scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        scores = jnp.where(mask, scores, NEG_INF)
+    weights = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+
+
+def split_heads(x, num_heads: int):
+    b, l, d = x.shape
+    return x.reshape(b, l, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x):
+    b, h, l, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+
+
+class Attention(nn.Module):
+    """Rotary multi-head attention with learned-query and sparse options
+    (attention.py:11-105).
+
+    - learned_queries: fixed-size learned query bank replacing x_q
+      (Perceiver-style, attention.py:30-34,55-56); rotary is skipped for
+      learned queries, matching the reference.
+    - sparse window_size (in `block_size` blocks): sliding-window + CLS
+      block-sparse self-attention. use_pallas_kernel selects the fused Pallas
+      kernel when shapes allow; otherwise the masked-dense oracle runs.
+    - rotary base: dense path 10_000 (attention.py:25 default max_length);
+      sparse path 2 * window_size * block_size (attention.py:52).
+    """
+    d_model: int
+    num_heads: int
+    causal: bool = False
+    sparse: bool = False
+    window_size: int = 2
+    block_size: int = 128
+    learned_queries: Optional[int] = None
+    max_length: int = 10_000
+    use_pallas_kernel: bool = True
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        init = dense_kernel_init(0.02)
+        d = self.d_model
+        if self.learned_queries:
+            self.learned_query_bank = self.param(
+                "learned_queries", nn.initializers.normal(1.0),
+                (1, self.learned_queries, d))
+        else:
+            self.q_linear = nn.Dense(d, kernel_init=init, dtype=self.dtype)
+        self.k_linear = nn.Dense(d, kernel_init=init, dtype=self.dtype)
+        self.v_linear = nn.Dense(d, kernel_init=init, dtype=self.dtype)
+        self.output_linear = nn.Dense(d, kernel_init=init, dtype=self.dtype)
+
+    @property
+    def rotary_base(self) -> float:
+        if self.sparse:
+            return float(2 * self.window_size * self.block_size)
+        return float(self.max_length)
+
+    def _project(self, x_q, x_kv, pos_offset=0):
+        if self.learned_queries:
+            q = jnp.broadcast_to(
+                self.learned_query_bank.astype(self.dtype),
+                (x_kv.shape[0], self.learned_queries, self.d_model))
+        else:
+            q = self.q_linear(x_q)
+            q = split_heads(q, self.num_heads)
+            q = apply_rotary(q, self.rotary_base, offset=pos_offset)
+            q = merge_heads(q)
+        k = self.k_linear(x_kv)
+        k = merge_heads(apply_rotary(split_heads(k, self.num_heads),
+                                     self.rotary_base))
+        v = self.v_linear(x_kv)
+        return q, k, v
+
+    def __call__(self, x_q, x_kv, kv_mask=None):
+        """Full-sequence attention. x_q: [B, Lq, D] (ignored when
+        learned_queries), x_kv: [B, Lk, D], kv_mask: [B, Lk] bool
+        (True = valid key position)."""
+        q, k, v = self._project(x_q, x_kv)
+        q, k, v = (split_heads(t, self.num_heads) for t in (q, k, v))
+        lq, lk = q.shape[-2], k.shape[-2]
+
+        if self.sparse and self.learned_queries is None:
+            if self.use_pallas_kernel and lq == lk \
+                    and lq % self.block_size == 0:
+                from .sliding_window_attention import sliding_window_attention
+                out = sliding_window_attention(
+                    q, k, v, kv_mask, window_size=self.window_size,
+                    block_size=self.block_size, causal=self.causal)
+                return self.output_linear(merge_heads(out))
+            mask = sliding_window_token_mask(
+                lq, lk, self.block_size, self.window_size, self.causal)
+            mask = mask[None, None]
+        elif self.causal and self.learned_queries is None:
+            mask = (jnp.arange(lk)[None, :] <= jnp.arange(lq)[:, None]
+                    )[None, None]
+        else:
+            mask = None
+
+        if kv_mask is not None:
+            pad = kv_mask[:, None, None, :]
+            mask = pad if mask is None else (mask & pad)
+
+        out = dense_attention(q, k, v, mask)
+        return self.output_linear(merge_heads(out))
+
+    # -- incremental decoding ----------------------------------------------
+    def init_cache(self, batch_size: int, max_length: int):
+        head_dim = self.d_model // self.num_heads
+        shape = (batch_size, self.num_heads, max_length, head_dim)
+        return {"k": jnp.zeros(shape, self.dtype),
+                "v": jnp.zeros(shape, self.dtype)}
+
+    def decode(self, x_t, cache, index):
+        """One-token attention (x_t: [B, 1, D]) against a KV cache.
+
+        Functional equivalent of the reference's class-level cache protocol
+        (attention.py:107-168): the new k/v are written at `index`, the query
+        attends over positions <= index (no causal mask needed at decode,
+        attention.py:96-97). The cache covers the full max_length; the
+        sparse models' windowed eviction becomes a window mask over the
+        cache, keeping shapes static.
+        """
+        b = x_t.shape[0]
+        q = self.q_linear(x_t)
+        q = apply_rotary(split_heads(q, self.num_heads), self.rotary_base,
+                         offset=index)
+        k_t = apply_rotary(split_heads(self.k_linear(x_t), self.num_heads),
+                           self.rotary_base, offset=index)
+        v_t = split_heads(self.v_linear(x_t), self.num_heads)
+
+        cache = {
+            "k": jax.lax.dynamic_update_slice_in_dim(
+                cache["k"], k_t.astype(cache["k"].dtype), index, axis=2),
+            "v": jax.lax.dynamic_update_slice_in_dim(
+                cache["v"], v_t.astype(cache["v"].dtype), index, axis=2),
+        }
+        positions = jnp.arange(cache["k"].shape[2])
+        valid = positions <= index
+        if self.sparse:
+            # Block-aligned window (+ [CLS] block), matching the training
+            # mask and the reference's block-unit cache eviction
+            # (attention.py:113-134): the query's block attends blocks
+            # [qb - window + 1 .. qb] plus block 0.
+            qb = index // self.block_size
+            kb = positions // self.block_size
+            valid = valid & ((kb > qb - self.window_size) | (kb == 0))
+        out = dense_attention(q, cache["k"], cache["v"],
+                              valid[None, None, None, :])
+        return self.output_linear(merge_heads(out)), cache

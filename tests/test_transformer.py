@@ -1,0 +1,258 @@
+"""Tests for the transformer path: layer, Perceiver, TransformerLM,
+TransformerVAE (z-injection, chunked loss, sampling), and a short training
+run."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparse_vae_tpu.data.text_data_module import (TextDataModule,
+                                                  TextDataModuleHparams)
+from sparse_vae_tpu.models.generation import SamplingParams
+from sparse_vae_tpu.models.perceiver import Perceiver
+from sparse_vae_tpu.models.transformer_layer import TransformerLayer
+from sparse_vae_tpu.models.transformer_lm import (TransformerHparams,
+                                                  TransformerLanguageModel)
+from sparse_vae_tpu.models.transformer_vae import (TransformerVAE,
+                                                   TransformerVAEHparams)
+from sparse_vae_tpu.models.vae import VAEObjective
+from sparse_vae_tpu.training.objectives import ARObjective, batch_arrays
+from sparse_vae_tpu.training.trainer import Trainer
+from sparse_vae_tpu.utils.config import TrainerHparams
+
+
+def lm_hparams(**kw):
+    defaults = dict(d_model=32, num_heads=4, num_layers=2, vocab_size=512,
+                    sparse_self_attention=False, lr=2e-2,
+                    lr_decay_steps=10_000, base_batch_size=2048,
+                    use_pallas_kernel=False)
+    defaults.update(kw)
+    return TransformerHparams(**defaults)
+
+
+def vae_hparams(**kw):
+    defaults = dict(d_model=64, num_heads=4, num_layers=2, latent_depth=8,
+                    vocab_size=512, sparse_self_attention=False, lr=2e-2,
+                    lr_decay_steps=10_000, base_batch_size=2048,
+                    num_encoder_latents=8, use_pallas_kernel=False)
+    defaults.update(kw)
+    return TransformerVAEHparams(**defaults)
+
+
+class TestTransformerLayer:
+    def test_forward_and_cross_attention(self, rng):
+        layer = TransformerLayer(d_model=32, num_heads=4,
+                                 use_cross_attention=True)
+        x = jax.random.normal(rng, (2, 10, 32))
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 32))
+        params = layer.init(rng, x, ctx)
+        out = layer.apply(params, x, ctx)
+        assert out.shape == x.shape
+        # context must influence the output (note: pure scaling would be
+        # erased by the context LayerNorm, so perturb with fresh noise)
+        ctx2 = ctx + jax.random.normal(jax.random.PRNGKey(2), ctx.shape)
+        out2 = layer.apply(params, x, ctx2)
+        assert not np.allclose(out, out2)
+
+    def test_learned_queries_change_length(self, rng):
+        layer = TransformerLayer(d_model=32, num_heads=4, learned_queries=4)
+        x = jax.random.normal(rng, (2, 10, 32))
+        params = layer.init(rng, x)
+        assert layer.apply(params, x).shape == (2, 4, 32)
+
+
+class TestPerceiver:
+    def test_bottleneck_output(self, rng):
+        enc = Perceiver(num_layers=3, num_latents=8, d_model=32,
+                        bottleneck_width=1)
+        x = jax.random.normal(rng, (2, 20, 32))
+        params = enc.init(rng, x)
+        z = enc.apply(params, x)
+        assert z.shape == (2, 1, 32)
+
+    def test_mask_hides_padding(self, rng):
+        enc = Perceiver(num_layers=2, num_latents=4, d_model=32)
+        x = jax.random.normal(rng, (1, 12, 32))
+        mask = jnp.arange(12)[None, :] < 8
+        params = enc.init(rng, x, mask=mask)
+        z1 = enc.apply(params, x, mask=mask)
+        x2 = x.at[:, 8:].set(999.0)  # mutate only masked positions
+        z2 = enc.apply(params, x2, mask=mask)
+        np.testing.assert_allclose(z1, z2, rtol=1e-4, atol=1e-5)
+
+
+class TestTransformerLM:
+    def test_forward_shapes_and_causality(self, rng):
+        hp = lm_hparams()
+        model = TransformerLanguageModel(hp)
+        tokens = jax.random.randint(rng, (2, 16), 3, 500)
+        params = model.init(rng, tokens)["params"]
+        logits = model.apply({"params": params}, tokens)
+        assert logits.shape == (2, 16, 512)
+        # Causality: changing a future token must not change past logits
+        tokens2 = tokens.at[:, 10].set(7)
+        logits2 = model.apply({"params": params}, tokens2)
+        np.testing.assert_allclose(logits[:, :10], logits2[:, :10],
+                                   rtol=1e-4, atol=1e-5)
+        assert not np.allclose(logits[:, 10:], logits2[:, 10:])
+
+    def test_factorized_embedding(self, rng):
+        hp = lm_hparams(d_embedding=16)
+        model = TransformerLanguageModel(hp)
+        tokens = jnp.ones((1, 8), jnp.int32)
+        params = model.init(rng, tokens)["params"]
+        assert "embedding_projection" in params
+        assert model.apply({"params": params}, tokens).shape == (1, 8, 512)
+
+    def test_sparse_matches_dense_short_seq(self, rng):
+        """With window covering the whole sequence, sparse == dense."""
+        tokens = jax.random.randint(rng, (1, 64), 3, 500)
+        hp_d = lm_hparams(num_layers=1, sparse_self_attention=False)
+        hp_s = lm_hparams(num_layers=1, sparse_self_attention=True,
+                          attn_window_size=4, attn_block_size=16)
+        dense = TransformerLanguageModel(hp_d)
+        sparse = TransformerLanguageModel(hp_s)
+        params = dense.init(rng, tokens)["params"]
+        out_d = dense.apply({"params": params}, tokens)
+        out_s = sparse.apply({"params": params}, tokens)
+        # window 4 x 16 = 64 tokens = full span -> identical up to rotary base
+        # (rotary base differs: dense 10000 vs sparse 2*w*bs) so just check
+        # shapes + finite here; exact equivalence is covered in
+        # test_attention.py against the oracle.
+        assert out_s.shape == out_d.shape
+        assert np.isfinite(np.asarray(out_s)).all()
+
+    def test_sample_runs(self, rng):
+        hp = lm_hparams()
+        model = TransformerLanguageModel(hp)
+        params = model.init(rng, jnp.ones((1, 8), jnp.int32))["params"]
+        out = model.apply({"params": params}, rng, 12, 2,
+                          SamplingParams(top_p=1.0, repetition_penalty=1.0),
+                          method=TransformerLanguageModel.sample)
+        assert out.shape == (2, 11)
+
+    def test_decode_matches_forward(self, rng):
+        """Greedy decode logits must equal teacher-forced logits on the
+        generated prefix (KV-cache correctness through the full stack)."""
+        hp = lm_hparams(num_layers=2)
+        model = TransformerLanguageModel(hp)
+        tokens = jax.random.randint(rng, (1, 8), 3, 500)
+        params = model.init(rng, tokens)["params"]
+        full = model.apply({"params": params}, tokens)
+
+        caches = model.apply({"params": params}, 1, 8,
+                             method=TransformerLanguageModel.init_caches)
+        outs = []
+        for i in range(8):
+            logits, caches = model.apply(
+                {"params": params}, tokens[:, i], caches, i,
+                method=TransformerLanguageModel.decode_step)
+            outs.append(logits)
+        np.testing.assert_allclose(jnp.stack(outs, 1), full, rtol=2e-3,
+                                   atol=2e-4)
+
+
+class TestTransformerVAE:
+    def test_forward_contract(self, rng):
+        hp = vae_hparams()
+        model = TransformerVAE(hp)
+        tokens = jax.random.randint(rng, (2, 32), 3, 500)
+        params = model.init({"params": rng, "sample": rng}, tokens)["params"]
+        logits, kl, q, z = model.apply({"params": params}, tokens,
+                                       rngs={"sample": rng})
+        assert logits.shape == (2, 32, 512)
+        assert z.shape == (2, 1, 8)
+        assert kl.shape == (2, 1, 8)
+
+    def test_z_injection_affects_all_positions(self, rng):
+        hp = vae_hparams()
+        model = TransformerVAE(hp)
+        tokens = jax.random.randint(rng, (1, 16), 3, 500)
+        params = model.init({"params": rng, "sample": rng}, tokens)["params"]
+        za = jnp.zeros((1, 1, 8))
+        zb = jnp.full((1, 1, 8), 2.0)
+        la = model.apply({"params": params}, tokens, za,
+                         method=TransformerVAE.reconstruct)
+        lb = model.apply({"params": params}, tokens, zb,
+                         method=TransformerVAE.reconstruct)
+        # z replaces position 0 per layer; with causal attention it reaches
+        # every later position
+        assert not np.allclose(la[:, 5:], lb[:, 5:])
+
+    def test_chunked_nll_matches_full(self, rng):
+        hp = vae_hparams(loss_chunk_size=8)
+        model = TransformerVAE(hp)
+        tokens = jax.random.randint(rng, (2, 32), 3, 500)
+        params = model.init({"params": rng, "sample": rng}, tokens)["params"]
+        sample_rng = jax.random.PRNGKey(5)
+        logits, kl, q, z = model.apply({"params": params}, tokens,
+                                       rngs={"sample": sample_rng})
+        from sparse_vae_tpu.ops.cross_entropy import token_nll
+        full_nll = token_nll(logits[:, :-1], tokens[:, 1:])
+        nll_sum, count, kl2, q2, z2 = model.apply(
+            {"params": params}, tokens, rngs={"sample": sample_rng},
+            method=TransformerVAE.forward_chunked_nll)
+        np.testing.assert_allclose(float(nll_sum / count), float(full_nll),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(z, z2, rtol=1e-5)
+
+    def test_sample_conditional(self, rng):
+        hp = vae_hparams()
+        model = TransformerVAE(hp)
+        tokens = jnp.ones((1, 8), jnp.int32)
+        params = model.init({"params": rng, "sample": rng}, tokens)["params"]
+        z = jnp.zeros((2, 1, 8))
+        out = model.apply({"params": params}, rng, 12, 2, z,
+                          method=TransformerVAE.sample)
+        assert out.shape == (2, 11)
+
+    def test_grad_checkpointing_same_loss(self, rng):
+        tokens = jax.random.randint(rng, (1, 16), 3, 500)
+        hp1 = vae_hparams(grad_checkpointing=False)
+        hp2 = vae_hparams(grad_checkpointing=True)
+        m1, m2 = TransformerVAE(hp1), TransformerVAE(hp2)
+        params = m1.init({"params": rng, "sample": rng}, tokens)["params"]
+        r = jax.random.PRNGKey(3)
+        a = m1.apply({"params": params}, tokens, rngs={"sample": r})[0]
+        b = m2.apply({"params": params}, tokens, rngs={"sample": r})[0]
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def tiny_dm(tmp_path_factory):
+    cwd = os.getcwd()
+    os.chdir(tmp_path_factory.mktemp("tvaework"))
+    try:
+        dm = TextDataModule(TextDataModuleHparams(
+            dataset_name="synthetic", synthetic_docs=48, vocab_size=512,
+            tokens_per_batch=1024, min_tokens_per_sample=4,
+            max_tokens_per_sample=250, pad_to_multiple_of=128, test_size=8))
+        dm.prepare_data()
+    finally:
+        os.chdir(cwd)
+    return dm
+
+
+class TestTransformerTraining:
+    def test_vae_loss_decreases(self, tiny_dm, tmp_path):
+        hp = vae_hparams(kl_weight_start=0.5, kl_weight_end=1.0,
+                         kl_annealing_steps=40)
+        model = TransformerVAE(hp)
+        obj = VAEObjective(hp)
+        thp = TrainerHparams(accumulate_grad_batches=1, max_steps=40,
+                             val_check_interval=20.0,
+                             checkpoint_every_n_steps=10 ** 9,
+                             sample_every_n_steps=10 ** 9)
+        trainer = Trainer(model, hp, obj, tiny_dm, thp,
+                          experiment="transformer-vae", name="t1",
+                          log_root=tmp_path, enable_logging=False)
+        batch = next(iter(tiny_dm.epoch_batches("train", seed=0)))
+        rng = jax.random.PRNGKey(0)
+        params0, _ = trainer.init_state(rng)
+        loss0, m0 = obj.loss(model, params0, batch_arrays(batch), 0, rng)
+        outcome = trainer.fit(max_epochs=100)
+        loss1, m1 = obj.loss(model, outcome.params, batch_arrays(batch),
+                             40, rng)
+        assert float(m1["train_nll"]) < float(m0["train_nll"])
