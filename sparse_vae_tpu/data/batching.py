@@ -60,6 +60,7 @@ def plan_batches(
     pad_to_multiple_of: int = 512,
     rng: Optional[np.random.Generator] = None,
     drop_remainder: bool = False,
+    rows_multiple_of: int = 1,
 ) -> List[BatchPlan]:
     """Build an epoch's batch plan.
 
@@ -68,6 +69,9 @@ def plan_batches(
     Documents are shuffled within buckets and the final batch list is
     shuffled, matching the reference sampler's semantics
     (data_utils.py:63-86) with a fixed shape per bucket.
+
+    rows_multiple_of: force the batch (row) dimension to a multiple — the
+    data-parallel axis size, so every batch shards evenly over the mesh.
     """
     rng = rng or np.random.default_rng()
     lengths = np.asarray(lengths)
@@ -77,6 +81,9 @@ def plan_batches(
     for bucket_len in np.unique(buckets):
         bucket_len = int(bucket_len)
         rows = max(1, tokens_per_batch // bucket_len)
+        m = rows_multiple_of
+        if m > 1:
+            rows = max(m, (rows // m) * m)
         idx = np.flatnonzero(buckets == bucket_len)
         rng.shuffle(idx)
         for start in range(0, len(idx), rows):
@@ -123,6 +130,7 @@ def iterate_epoch(
     pad_to_multiple_of: int = 512,
     rng: Optional[np.random.Generator] = None,
     drop_remainder: bool = False,
+    rows_multiple_of: int = 1,
 ) -> Iterator[TextBatch]:
     """Yield collated batches for one epoch over `corpus`.
 
@@ -130,7 +138,7 @@ def iterate_epoch(
     .get_docs(indices) -> list of token arrays (see datasets.py).
     """
     plans = plan_batches(corpus.lengths, tokens_per_batch, pad_to_multiple_of,
-                         rng, drop_remainder)
+                         rng, drop_remainder, rows_multiple_of)
     for plan in plans:
         docs = corpus.get_docs(plan.doc_indices)
         nbytes = [int(corpus.num_bytes[i]) for i in plan.doc_indices]

@@ -95,11 +95,12 @@ class TextDataModule:
     # -- batch iterators ----------------------------------------------------
     def epoch_batches(self, split: str = "train",
                       seed: Optional[int] = None,
-                      drop_remainder: bool = False) -> Iterator[TextBatch]:
+                      drop_remainder: bool = False,
+                      rows_multiple_of: int = 1) -> Iterator[TextBatch]:
         rng = np.random.default_rng(seed)
         return iterate_epoch(self.splits[split], self.hparams.tokens_per_batch,
                              self.hparams.pad_to_multiple_of, rng,
-                             drop_remainder)
+                             drop_remainder, rows_multiple_of)
 
     def num_batches(self, split: str = "train") -> int:
         plans = plan_batches(self.splits[split].lengths,

@@ -122,15 +122,18 @@ def sliding_window_attention(q, k, v, kv_mask=None, *, window_size: int = 2,
                              block_size: int = 128, causal: bool = True,
                              include_cls: bool = True,
                              force_xla: bool = False):
-    """Dispatcher: fused Pallas kernel on TPU, blocked XLA elsewhere."""
-    if not force_xla and q.shape[-1] % 128 == 0 and block_size % 128 == 0:
-        try:
-            from .pallas_kernels import sliding_window_attention_pallas
-            return sliding_window_attention_pallas(
-                q, k, v, kv_mask, window_size=window_size,
-                block_size=block_size, causal=causal, include_cls=include_cls)
-        except ImportError:
-            pass
+    """Dispatcher: fused Pallas kernel on TPU, blocked XLA elsewhere.
+
+    The Pallas path needs a TPU backend and MXU-aligned blocks; anything
+    else (CPU tests, odd shapes) takes the blocked-XLA path with identical
+    semantics.
+    """
+    on_tpu = jax.default_backend() == "tpu"
+    if (not force_xla and on_tpu and block_size % 128 == 0
+            and q.shape[-1] % 8 == 0):
+        from .pallas_kernels import sliding_window_attention_pallas
+        return sliding_window_attention_pallas(
+            q, k, v, kv_mask, window_size, block_size, causal, include_cls)
     return sliding_window_attention_xla(
         q, k, v, kv_mask, window_size=window_size, block_size=block_size,
         causal=causal, include_cls=include_cls)

@@ -1,0 +1,86 @@
+"""Device mesh + sharding utilities.
+
+The distributed layer the reference never had (SURVEY.md §2.10: single GPU,
+no NCCL/MPI). TPU-native scaling is pjit/GSPMD over a `jax.sharding.Mesh`:
+
+- axis 'data': batch sharding over ICI — the primary scaling axis. Gradient
+  all-reduce is inserted by XLA because the params are replicated and the
+  batch is sharded (psum under jit).
+- axis 'model': optional tensor-parallel axis — large kernels are sharded on
+  their output dimension by a tree heuristic; XLA/GSPMD inserts the
+  all-gathers/reduce-scatters.
+
+Multi-host would call jax.distributed.initialize() before building the mesh;
+on a single host the same code drives all local devices.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(num_devices: Optional[int] = None,
+                model_axis: int = 1,
+                devices: Optional[Sequence] = None) -> Mesh:
+    """(data, model) mesh over the available devices.
+
+    model_axis=1 => pure data parallelism (the default; the reference models
+    are small enough that DP is the right first axis, SURVEY §2.10).
+    """
+    devices = list(devices) if devices is not None else jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    n = len(devices)
+    assert n % model_axis == 0, (n, model_axis)
+    grid = np.asarray(devices).reshape(n // model_axis, model_axis)
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def param_sharding_rules(params, mesh: Mesh, min_size: int = 2 ** 16):
+    """Heuristic tensor-parallel shardings: shard the last axis of large 2-D+
+    kernels over 'model' when divisible; replicate everything else.
+
+    With model_axis == 1 this degenerates to full replication (pure DP).
+    """
+    model = mesh.shape["model"]
+
+    def rule(x):
+        if (model > 1 and hasattr(x, "ndim") and x.ndim >= 2
+                and x.size >= min_size and x.shape[-1] % model == 0):
+            spec = [None] * (x.ndim - 1) + ["model"]
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, params)
+
+
+def shard_params(params, mesh: Mesh):
+    shardings = param_sharding_rules(params, mesh)
+    return jax.tree.map(jax.device_put, params, shardings), shardings
+
+
+def pad_batch_rows(arrays: dict, multiple: int) -> dict:
+    """Pad the batch dim up to a multiple of the data-axis size with all-PAD
+    rows (masked by the loss via num_tokens == 0)."""
+    b = arrays["token_ids"].shape[0]
+    rem = (-b) % multiple
+    if rem == 0:
+        return arrays
+    import jax.numpy as jnp
+    out = {}
+    for k, v in arrays.items():
+        pad = [(0, rem)] + [(0, 0)] * (v.ndim - 1)
+        out[k] = jnp.pad(v, pad)
+    return out

@@ -92,9 +92,11 @@ class Trainer:
         self._apply_step = jax.jit(self._apply_step_impl)
         self._eval_step = jax.jit(self._eval_step_impl)
         self._batch_sharding = None
+        self._rows_multiple = 1
         if mesh is not None:
             self._batch_sharding = jax.sharding.NamedSharding(
                 mesh, jax.sharding.PartitionSpec("data"))
+            self._rows_multiple = mesh.shape["data"]
 
     # -- jitted pieces ------------------------------------------------------
     def _grad_step_impl(self, params, batch, step, rng):
@@ -121,11 +123,20 @@ class Trainer:
         sample = jnp.zeros((1, 128), jnp.int32)
         params = self.module.init(rng, sample)["params"]
         opt_state = self.optimizer.init(params)
+        if self.mesh is not None:
+            from ..parallel.mesh import replicated
+            rep = replicated(self.mesh)
+            params = jax.tree.map(lambda x: jax.device_put(x, rep), params)
+            opt_state = jax.tree.map(
+                lambda x: jax.device_put(x, rep) if hasattr(x, "ndim")
+                else x, opt_state)
         return params, opt_state
 
     def _put(self, arrays):
         if self._batch_sharding is None:
             return arrays
+        from ..parallel.mesh import pad_batch_rows
+        arrays = pad_batch_rows(arrays, self._rows_multiple)
         return {k: jax.device_put(
                     v, self._batch_sharding if v.ndim >= 1 else None)
                 for k, v in arrays.items()}
@@ -135,7 +146,8 @@ class Trainer:
                  ) -> Dict[str, float]:
         totals: Dict[str, float] = {}
         limit = max_batches or self.thp.limit_val_batches
-        for i, batch in enumerate(self.data.epoch_batches("test", seed=0)):
+        for i, batch in enumerate(self.data.epoch_batches(
+                "test", seed=0, rows_multiple_of=self._rows_multiple)):
             if limit is not None and i >= limit:
                 break
             stats = self._eval_step(params, self._put(batch_arrays(batch)),
@@ -190,7 +202,8 @@ class Trainer:
 
         for epoch in range(max_epochs):
             for batch in self.data.epoch_batches(
-                    "train", seed=self.thp.seed + epoch):
+                    "train", seed=self.thp.seed + epoch,
+                    rows_multiple_of=self._rows_multiple):
                 rng, step_rng = jax.random.split(rng)
                 arrays = self._put(batch_arrays(batch))
                 grads, metrics = self._grad_step(
