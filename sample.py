@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Mass sampling: ``python sample.py <model> <run-name> [num_samples=700000]
+[batch_size=1000] [max_length=512]``.
+
+Counterpart of /root/reference/sample.py: loads the newest checkpoint, mass
+generates samples with the on-device decode loop, and saves an HF dataset
+with a 50k test split (:16-25). Defaults match the reference workload.
+"""
+import sys
+from pathlib import Path
+
+import jax
+
+
+def main(args):
+    from sparse_vae_tpu.cli import apply_platform_env
+    apply_platform_env()
+    experiment, name = args[1], args[2]
+    extra = dict(kv.split("=", 1) for kv in args[3:])
+    num_samples = int(extra.get("num_samples", 700_000))
+    batch_size = int(extra.get("batch_size", 1000))
+    max_length = int(extra.get("max_length", 512))
+
+    from sparse_vae_tpu import load_checkpoint_for_name
+    from sparse_vae_tpu.batch_generation import batch_generate_samples
+    from sparse_vae_tpu.data.tokenizer import SEP_ID
+
+    module, hparams, objective, state, meta = load_checkpoint_for_name(
+        experiment, name)
+    params = state["params"]
+
+    import functools
+
+    @functools.partial(jax.jit)
+    def sample_batch(rng):
+        return module.apply({"params": params}, rng, max_length, batch_size,
+                            method=type(module).sample)
+
+    def sample_fn(i):
+        return sample_batch(jax.random.PRNGKey(i))
+
+    outputs = batch_generate_samples(sample_fn, num_samples, max_length,
+                                     end_token=SEP_ID)
+
+    print("Saving to disk...")
+    from datasets import Dataset
+    dataset_path = Path.cwd() / "sparse-vae-datasets" / "samples" / name
+    dataset = Dataset.from_dict({"text": [o.tolist() for o in outputs]})
+    test_size = min(50_000, max(1, len(outputs) // 10))
+    dataset = dataset.train_test_split(test_size=test_size)
+    dataset.save_to_disk(str(dataset_path))
+    print("Done.")
+
+
+if __name__ == "__main__":
+    main(sys.argv)

@@ -105,6 +105,12 @@ class CheckpointManager:
         meta_file = self.dir / "meta.json"
         return json.loads(meta_file.read_text()) if meta_file.exists() else None
 
+    def close(self):
+        """Block on orbax's background commit threads — without this a
+        process exiting right after save() races the async metadata write
+        ('cannot schedule new futures after shutdown')."""
+        self._ckptr.close()
+
 
 def restore_checkpoint(path: Path, state_template: Dict[str, Any]):
     """Restore a specific checkpoint directory (eval-script entry point,

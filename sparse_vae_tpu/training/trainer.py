@@ -61,6 +61,7 @@ class Trainer:
         name: str = "default",
         log_root: Optional[Path] = None,
         sample_fn: Optional[Callable] = None,
+        reconstruct_fn: Optional[Callable] = None,
         mesh: Optional[jax.sharding.Mesh] = None,
         enable_logging: bool = True,
     ):
@@ -72,6 +73,7 @@ class Trainer:
         self.experiment = experiment
         self.name = name
         self.sample_fn = sample_fn
+        self.reconstruct_fn = reconstruct_fn
         self.mesh = mesh
 
         self.run_dir = run_dir(experiment, name, log_root)
@@ -158,21 +160,50 @@ class Trainer:
                 self.objective.reduce_eval(totals).items()}
 
     # -- sampling callback --------------------------------------------------
-    def _sampling_callback(self, params, step, rng, last_metrics):
-        if self.sample_fn is None or not self.hp.log_samples:
-            return
-        try:
-            tokens = self.sample_fn(self.module, params, rng, step=step)
-        except Exception as e:  # sampling must never kill training
-            self.writer.text("sampling_error", repr(e), step)
-            return
-        if tokens is None:
+    def _sampling_callback(self, params, step, rng, last_batch):
+        """TextSamplingCallback parity (text_sampling_callback.py:13-60):
+        periodic unconditional sample + posterior-mean reconstruction of the
+        current batch's first document with BLEU-2 logged as train_bleu."""
+        if not self.hp.log_samples:
             return
         tokenizer = self.data.tokenizer
-        texts = [tokenizer.decode([int(t) for t in row if t != 0])
-                 for row in np.asarray(tokens)]
-        for text in texts[:2]:
-            self.writer.text("unconditional_sample", text, step)
+
+        def decode(rows):
+            return [tokenizer.decode([int(t) for t in row if t != 0])
+                    for row in np.asarray(rows)]
+
+        if self.sample_fn is not None:
+            try:
+                tokens = self.sample_fn(self.module, params, rng, step=step)
+            except Exception as e:  # sampling must never kill training
+                self.writer.text("sampling_error", repr(e), step)
+                tokens = None
+            if tokens is not None:
+                for text in decode(tokens)[:2]:
+                    self.writer.text("unconditional_sample", text, step)
+
+        if self.reconstruct_fn is not None and last_batch is not None:
+            try:
+                recon = self.reconstruct_fn(self.module, params, rng,
+                                            last_batch, step=step)
+            except Exception as e:
+                self.writer.text("sampling_error", repr(e), step)
+                recon = None
+            if recon is not None:
+                from ..utils.math_utils import bleu_score_corpus
+                original = last_batch.token_ids[0][
+                    :int(last_batch.num_tokens[0])]
+                original_str = tokenizer.decode(
+                    [int(t) for t in original if t != 0])
+                recon_strs = decode(recon)
+                bleu = bleu_score_corpus(
+                    [s.split(" ") for s in recon_strs],
+                    [[original_str.split(" ")]] * len(recon_strs), max_n=2)
+                self.writer.scalar("train_bleu", bleu, step)
+                msg = "**Original**:  \n" + original_str
+                for i, s in enumerate(recon_strs, start=1):
+                    msg += f"  \n**Reconstruction {i}**:  \n" + s
+                self.writer.text("reconstruction", msg, step)
 
     # -- the loop -----------------------------------------------------------
     def fit(self, rng=None, max_epochs: int = 10 ** 9,
@@ -229,7 +260,7 @@ class Trainer:
 
                 if step % self.thp.sample_every_n_steps == 0:
                     rng, s_rng = jax.random.split(rng)
-                    self._sampling_callback(params, step, s_rng, metrics)
+                    self._sampling_callback(params, step, s_rng, batch)
 
                 if (self.ckpt is not None
                         and step % self.thp.checkpoint_every_n_steps == 0):
@@ -267,6 +298,7 @@ class Trainer:
 
         if self.ckpt is not None:
             self._save(params, opt_state, step, rng)
+            self.ckpt.close()
         self.writer.close()
         return TrainOutcome(step=step, best_metric=best_metric,
                             stopped_reason=stopped, params=params,
