@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Training-throughput benchmark. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "tokens/s/chip", "vs_baseline": N/1e5}.
+
+Measures the flagship TransformerVAE train step (sparse sliding-window
+attention, remat, bf16, chunked fused projection+CE) at the reference's
+'wikipedia' preset scale — d_model 512, 8 heads, 6 layers, latent 64, 32768
+vocab, ~100k-token batches (hparam_presets.py:122-148) — against the
+north-star target of 100,000 tokens/sec/chip (BASELINE.json).
+
+Flags:
+  --smoke    tiny config on CPU (CI sanity)
+  --pallas   use the fused Pallas attention kernel (first Mosaic compile is
+             slow over the axon tunnel; cached afterwards)
+  --steps N  timed steps (default 10)
+"""
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--smoke", action="store_true")
+    parser.add_argument("--pallas", action="store_true")
+    parser.add_argument("--steps", type=int, default=10)
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--seq", type=int, default=12800)
+    args = parser.parse_args()
+
+    import jax
+    if args.smoke:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/svt-jax-cache")
+
+    import jax.numpy as jnp
+    import optax
+
+    from sparse_vae_tpu.models.transformer_vae import (TransformerVAE,
+                                                       TransformerVAEHparams)
+    from sparse_vae_tpu.models.vae import VAEObjective
+    from sparse_vae_tpu.training.optimizer import make_optimizer
+
+    if args.smoke:
+        b, L = 4, 512
+        hp = TransformerVAEHparams(
+            d_model=64, num_heads=4, num_layers=2, latent_depth=8,
+            vocab_size=1024, num_encoder_latents=8,
+            sparse_self_attention=True, attn_window_size=2,
+            attn_block_size=128, grad_checkpointing=True,
+            loss_chunk_size=256, use_pallas_kernel=False, precision="fp32")
+    else:
+        b, L = args.batch, args.seq
+        hp = TransformerVAEHparams(
+            d_model=512, num_heads=8, num_layers=6, latent_depth=64,
+            vocab_size=2 ** 15, num_encoder_latents=64,
+            sparse_self_attention=True, attn_window_size=2,
+            attn_block_size=128, grad_checkpointing=True,
+            loss_chunk_size=2048, use_pallas_kernel=args.pallas,
+            precision="bf16")
+
+    model = TransformerVAE(hp)
+    objective = VAEObjective(hp)
+    optimizer = make_optimizer(lr=3e-4, lr_decay_steps=250_000,
+                               grad_clip_threshold=150.0)
+
+    rng = jax.random.PRNGKey(0)
+    tokens = jax.random.randint(rng, (b, L), 3, hp.vocab_size)
+    tokens = tokens.at[:, 0].set(1)
+    batch = {
+        "token_ids": tokens,
+        "num_tokens": jnp.full((b,), L, jnp.int32),
+        "num_bytes": jnp.full((b,), L * 4, jnp.int32),
+    }
+    params = model.init({"params": rng, "sample": rng},
+                        tokens[:1, :256])["params"]
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, batch, step, rng):
+        def loss_fn(p):
+            return objective.loss(model, p, batch, step, rng)
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state2 = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    # Warmup / compile
+    t0 = time.time()
+    params, opt_state, loss = train_step(params, opt_state, batch,
+                                         jnp.asarray(0), rng)
+    loss.block_until_ready()
+    compile_s = time.time() - t0
+
+    # Timed steady state
+    t0 = time.time()
+    for i in range(args.steps):
+        params, opt_state, loss = train_step(
+            params, opt_state, batch, jnp.asarray(i + 1),
+            jax.random.fold_in(rng, i))
+    loss.block_until_ready()
+    elapsed = time.time() - t0
+
+    tokens_per_step = b * L
+    tps = tokens_per_step * args.steps / elapsed
+    result = {
+        "metric": "transformer_vae_train_throughput",
+        "value": round(tps, 1),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(tps / 100_000, 4),
+    }
+    print(json.dumps(result))
+    print(f"# loss={float(loss):.4f} compile={compile_s:.1f}s "
+          f"step={elapsed/args.steps*1000:.1f}ms batch=({b},{L}) "
+          f"backend={jax.default_backend()} pallas={args.pallas}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

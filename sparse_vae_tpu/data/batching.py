@@ -139,6 +139,17 @@ def iterate_epoch(
     """
     plans = plan_batches(corpus.lengths, tokens_per_batch, pad_to_multiple_of,
                          rng, drop_remainder, rows_multiple_of)
+    arena = corpus.ensure_arena() if hasattr(corpus, "ensure_arena") else None
+    if arena is not None:
+        from .native import pack_batch
+        for plan in plans:
+            tokens, num_tokens = pack_batch(arena, plan.doc_indices,
+                                            plan.rows, plan.bucket_len)
+            nbytes = np.zeros(plan.rows, dtype=np.int32)
+            nbytes[:len(plan.doc_indices)] = corpus.num_bytes[
+                plan.doc_indices]
+            yield TextBatch(tokens, num_tokens, nbytes)
+        return
     for plan in plans:
         docs = corpus.get_docs(plan.doc_indices)
         nbytes = [int(corpus.num_bytes[i]) for i in plan.doc_indices]

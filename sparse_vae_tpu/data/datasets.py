@@ -36,12 +36,21 @@ class TokenizedCorpus:
     def __post_init__(self):
         self.lengths = np.array([len(d) for d in self.docs], dtype=np.int64)
         self.num_bytes = np.asarray(self.num_bytes, dtype=np.int64)
+        self._arena = None
 
     def __len__(self):
         return len(self.docs)
 
     def get_docs(self, indices: Sequence[int]) -> List[np.ndarray]:
         return [self.docs[i] for i in indices]
+
+    def ensure_arena(self):
+        """Contiguous uint16 token arena for the native C++ batch packer
+        (built once, reused every epoch)."""
+        if self._arena is None:
+            from .native import TokenArena
+            self._arena = TokenArena.from_docs(self.docs)
+        return self._arena
 
     def filter_by_length(self, min_tokens: int, max_tokens: int) -> "TokenizedCorpus":
         keep = [i for i, L in enumerate(self.lengths)

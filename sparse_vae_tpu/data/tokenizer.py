@@ -58,9 +58,13 @@ def get_or_train_tokenizer(dataset_name: str, text_iterator_fn, vocab_size: int,
     path = tokenizer_cache_path(dataset_name, root)
     if path.exists():
         tokenizer = load_tokenizer(path)
-        assert tokenizer.get_vocab_size() == vocab_size, (
-            f"Cached tokenizer vocab {tokenizer.get_vocab_size()} != requested "
-            f"{vocab_size}")
+        # BPE saturates below the requested size on small corpora (every
+        # possible merge exhausted), so a smaller cached vocab is valid —
+        # all token ids still index the [vocab_size] embedding. A larger one
+        # would produce out-of-range ids and must be retrained.
+        assert tokenizer.get_vocab_size() <= vocab_size, (
+            f"Cached tokenizer vocab {tokenizer.get_vocab_size()} > requested "
+            f"{vocab_size}; delete {path} to retrain")
         return tokenizer
     return train_tokenizer(text_iterator_fn(), vocab_size, save_path=path)
 

@@ -68,10 +68,19 @@ class VAEObjective:
     def loss(self, module, params, batch, step, rng
              ) -> Tuple[jax.Array, Dict[str, Any]]:
         drop_rng, sample_rng, mi_rng = jax.random.split(rng, 3)
-        logits, raw_kl, posterior, z = module.apply(
-            {"params": params}, batch["token_ids"],
-            rngs={"dropout": drop_rng, "sample": sample_rng})
-        nll = token_nll(logits[:, :-1], batch["token_ids"][:, 1:])
+        rngs = {"dropout": drop_rng, "sample": sample_rng}
+        if getattr(self.hp, "loss_chunk_size", 0) and hasattr(
+                type(module), "forward_chunked_nll"):
+            # Long-document path: fused projection+CE over sequence chunks,
+            # full [B, L, V] logits never materialize (ops/cross_entropy.py).
+            nll_sum, count, raw_kl, posterior, z = module.apply(
+                {"params": params}, batch["token_ids"], rngs=rngs,
+                method=type(module).forward_chunked_nll)
+            nll = nll_sum / jnp.maximum(count, 1.0)
+        else:
+            logits, raw_kl, posterior, z = module.apply(
+                {"params": params}, batch["token_ids"], rngs=rngs)
+            nll = token_nll(logits[:, :-1], batch["token_ids"][:, 1:])
         kl, raw_kl_mean = normalized_kl(raw_kl, batch["num_tokens"])
         weight = self.kl_weight(step)
         loss = nll + weight * kl

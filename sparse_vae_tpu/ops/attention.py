@@ -162,12 +162,15 @@ class Attention(nn.Module):
         lq, lk = q.shape[-2], k.shape[-2]
 
         if self.sparse and self.learned_queries is None:
-            if self.use_pallas_kernel and lq == lk \
-                    and lq % self.block_size == 0:
+            if lq == lk and lq % self.block_size == 0:
+                # Blocked sparse path: Pallas kernel on TPU (unless
+                # disabled), O(L*window) blocked-XLA otherwise. The dense
+                # masked fallback below is only for unaligned shapes.
                 from .sliding_window_attention import sliding_window_attention
                 out = sliding_window_attention(
                     q, k, v, kv_mask, window_size=self.window_size,
-                    block_size=self.block_size, causal=self.causal)
+                    block_size=self.block_size, causal=self.causal,
+                    force_xla=not self.use_pallas_kernel)
                 return self.output_linear(merge_heads(out))
             mask = sliding_window_token_mask(
                 lq, lk, self.block_size, self.window_size, self.causal)

@@ -63,14 +63,22 @@ def chunked_cross_entropy(
     hidden = hidden.reshape(b, num_chunks, chunk_size, d).swapaxes(0, 1)
     labels = labels.reshape(b, num_chunks, chunk_size).swapaxes(0, 1)
 
-    def body(carry, chunk):
-        nll_sum, count = carry
-        h, y = chunk
+    # Remat the chunk body: without it, lax.scan stacks every chunk's
+    # [B, C, V] logits as backward residuals — exactly the memory blow-up
+    # this function exists to avoid. With remat only the [B, C, D] hidden
+    # chunks are saved and logits are recomputed in the backward pass.
+    @jax.checkpoint
+    def chunk_loss(h, y):
         logits = project_fn(h)
         log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         nll = -jnp.take_along_axis(log_probs, y[..., None], axis=-1)[..., 0]
         mask = (y != 0).astype(jnp.float32)
-        return (nll_sum + jnp.sum(nll * mask), count + jnp.sum(mask)), None
+        return jnp.sum(nll * mask), jnp.sum(mask)
+
+    def body(carry, chunk):
+        nll_sum, count = carry
+        s, c = chunk_loss(*chunk)
+        return (nll_sum + s, count + c), None
 
     (nll_sum, count), _ = jax.lax.scan(
         body, (jnp.zeros([], jnp.float32), jnp.zeros([], jnp.float32)),
