@@ -25,6 +25,9 @@ def main():
     parser.add_argument("--smoke", action="store_true")
     parser.add_argument("--pallas", action="store_true")
     parser.add_argument("--steps", type=int, default=10)
+    parser.add_argument("--profile", action="store_true",
+                        help="jax.profiler trace of the timed steps to "
+                             "/tmp/svt-profile")
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--seq", type=int, default=12800)
     args = parser.parse_args()
@@ -86,21 +89,35 @@ def main():
         updates, opt_state2 = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state2, loss
 
+    def sync(x):
+        # device_get forces real completion; block_until_ready can return
+        # early on tunneled backends (axon), which breaks wall timing.
+        return float(jax.device_get(x))
+
     # Warmup / compile
     t0 = time.time()
     params, opt_state, loss = train_step(params, opt_state, batch,
                                          jnp.asarray(0), rng)
-    loss.block_until_ready()
+    sync(loss)
     compile_s = time.time() - t0
 
-    # Timed steady state
+    # Second step: steady-state check (no compile)
     t0 = time.time()
-    for i in range(args.steps):
-        params, opt_state, loss = train_step(
-            params, opt_state, batch, jnp.asarray(i + 1),
-            jax.random.fold_in(rng, i))
-    loss.block_until_ready()
-    elapsed = time.time() - t0
+    params, opt_state, loss = train_step(params, opt_state, batch,
+                                         jnp.asarray(1), rng)
+    sync(loss)
+    first_step_s = time.time() - t0
+
+    # Timed steady state
+    from sparse_vae_tpu.utils.profiling import trace
+    with trace("/tmp/svt-profile", enabled=args.profile):
+        t0 = time.time()
+        for i in range(args.steps):
+            params, opt_state, loss = train_step(
+                params, opt_state, batch, jnp.asarray(i + 2),
+                jax.random.fold_in(rng, i))
+        sync(loss)
+        elapsed = time.time() - t0
 
     tokens_per_step = b * L
     tps = tokens_per_step * args.steps / elapsed
@@ -112,6 +129,7 @@ def main():
     }
     print(json.dumps(result))
     print(f"# loss={float(loss):.4f} compile={compile_s:.1f}s "
+          f"first_step={first_step_s*1000:.0f}ms "
           f"step={elapsed/args.steps*1000:.1f}ms batch=({b},{L}) "
           f"backend={jax.default_backend()} pallas={args.pallas}",
           file=sys.stderr)

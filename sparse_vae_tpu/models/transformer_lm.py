@@ -151,3 +151,22 @@ class TransformerLanguageModel(nn.Module):
 
         state, _ = decode_loop(state, logits_fn, caches, sampling, end_token)
         return final_output(state)
+
+    def parallel_generate(self, rng, length: int, batch_size: int = 1,
+                          sampling: SamplingParams = SamplingParams(),
+                          start_token: int = 1, end_token: int = 2,
+                          max_iters: Optional[int] = None,
+                          chunk_size: int = 2048):
+        """Non-AR full-document generation: Jacobi fixed-point iteration on
+        the teacher-forcing forward (models/parallel_decode.py). Every
+        iteration is one parallel device pass; converges to the exact AR
+        sample. Returns (tokens [B, length-1] sans start token, iters)."""
+        from .parallel_decode import jacobi_decode
+
+        def hidden_fn(tokens):
+            return self.forward_hidden(tokens, deterministic=True)
+
+        tokens, iters = jacobi_decode(
+            hidden_fn, self.project, batch_size, length, rng, sampling,
+            start_token, end_token, max_iters, chunk_size)
+        return tokens[:, 1:], iters

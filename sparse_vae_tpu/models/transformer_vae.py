@@ -11,6 +11,7 @@ IWAE estimator (100 samples x 100 iters, :71-79); sampling injects z at step
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -136,3 +137,27 @@ class TransformerVAE(TransformerLanguageModel):
 
         state, _ = decode_loop(state, logits_fn, caches, sampling, end_token)
         return final_output(state)
+
+    def parallel_generate(self, rng, length: int, batch_size: int = 1,
+                          z=None, sampling: SamplingParams = SamplingParams(),
+                          start_token: int = 1, end_token: int = 2,
+                          max_iters: Optional[int] = None,
+                          chunk_size: int = 2048):
+        """The north-star generation mode: full-document non-AR decoding
+        from z in a handful of parallel device passes (Jacobi fixed-point on
+        the z-injected decoder; models/parallel_decode.py). The AR `sample`
+        is the one-token-per-iteration special case of this map."""
+        from .parallel_decode import jacobi_decode
+
+        z_rng, d_rng = jax.random.split(rng)
+        if z is None:
+            z = jax.random.normal(
+                z_rng, (batch_size, 1, self.hparams.latent_depth))
+
+        def hidden_fn(tokens):
+            return self.reconstruct_hidden(tokens, z, deterministic=True)
+
+        tokens, iters = jacobi_decode(
+            hidden_fn, self.project, batch_size, length, d_rng, sampling,
+            start_token, end_token, max_iters, chunk_size)
+        return tokens[:, 1:], iters

@@ -231,6 +231,11 @@ class Trainer:
         metric_name = self.hp.early_stopping_metric
         t0, tokens_seen = time.time(), 0
 
+        # jax.profiler trace of a few steady-state steps (skips the compile
+        # step); view in TensorBoard's profile plugin under the run dir.
+        profile_n = self.thp.profile_steps
+        profile_start, profiling = (3 if step < 3 else step + 2), False
+
         for epoch in range(max_epochs):
             for batch in self.data.epoch_batches(
                     "train", seed=self.thp.seed + epoch,
@@ -250,6 +255,16 @@ class Trainer:
                     params, opt_state, grads_acc)
                 grads_acc, micro = None, 0
                 step += 1
+
+                if profile_n and not profiling and step == profile_start:
+                    from ..utils.profiling import trace as profiler_trace
+                    self._profile_ctx = profiler_trace(self.run_dir)
+                    self._profile_ctx.__enter__()
+                    profiling = True
+                elif profiling and step >= profile_start + profile_n:
+                    jax.block_until_ready(params)
+                    self._profile_ctx.__exit__(None, None, None)
+                    profiling, profile_n = False, 0
 
                 if step % self.thp.log_every_n_steps == 0:
                     logged = {k: float(v) for k, v in metrics.items()}

@@ -133,3 +133,4 @@ class TrainerHparams:
     early_stopping_patience: int = 3
     num_devices: Optional[int] = None  # None => all available
     seed: int = 7295                   # ref train.py:15
+    profile_steps: int = 0             # >0: jax.profiler trace of steps 3..3+N

@@ -1,0 +1,120 @@
+"""Jacobi parallel decoding: AR equivalence, fixed-point property, EOS
+masking, and the VAE entry point."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparse_vae_tpu.models.generation import SamplingParams
+from sparse_vae_tpu.models.parallel_decode import (_mask_after_end,
+                                                   jacobi_decode)
+from sparse_vae_tpu.models.transformer_lm import (TransformerHparams,
+                                                  TransformerLanguageModel)
+from sparse_vae_tpu.models.transformer_vae import (TransformerVAE,
+                                                   TransformerVAEHparams)
+
+GREEDY = SamplingParams(temperature=0.0, top_p=1.0, repetition_penalty=1.0)
+
+
+def lm_hparams(**kw):
+    defaults = dict(d_model=32, num_heads=4, num_layers=2, vocab_size=128,
+                    sparse_self_attention=False, use_pallas_kernel=False)
+    defaults.update(kw)
+    return TransformerHparams(**defaults)
+
+
+@pytest.fixture(scope="module")
+def lm():
+    hp = lm_hparams()
+    model = TransformerLanguageModel(hp)
+    rng = jax.random.PRNGKey(3)
+    params = model.init(rng, jnp.ones((1, 16), jnp.int32))["params"]
+    return model, params
+
+
+class TestMaskAfterEnd:
+    def test_pads_after_first_end(self):
+        t = jnp.array([[1, 5, 2, 9, 2, 7]])
+        out = _mask_after_end(t, end_token=2, start_token=1)
+        np.testing.assert_array_equal(out[0], [1, 5, 2, 0, 0, 0])
+
+    def test_no_end_is_identity(self):
+        t = jnp.array([[1, 5, 9, 7]])
+        out = _mask_after_end(t, end_token=2, start_token=1)
+        np.testing.assert_array_equal(out, t)
+
+
+class TestJacobiLM:
+    def test_greedy_matches_ar_greedy(self, lm):
+        """The core claim: the Jacobi fixed point IS the sequential greedy
+        decode (prefix-stability of causal maps)."""
+        model, params = lm
+        L = 24
+        ar = model.apply({"params": params}, jax.random.PRNGKey(0), L,
+                         2, GREEDY, method=model.sample)        # [B, L-1]
+        pj, iters = model.apply(
+            {"params": params}, jax.random.PRNGKey(0), L, 2, GREEDY,
+            chunk_size=8, method=model.parallel_generate)
+        # Compare up to each row's end token (AR stops writing, Jacobi pads)
+        for a_row, p_row in zip(np.asarray(ar), np.asarray(pj)):
+            np.testing.assert_array_equal(a_row, p_row)
+        assert int(iters) <= L
+
+    def test_sampled_output_is_fixed_point(self, lm):
+        """With Gumbel-max noise fixed per position, re-running one Jacobi
+        step on the converged output must reproduce it exactly."""
+        model, params = lm
+        sampling = SamplingParams(temperature=1.0, top_p=0.9,
+                                  repetition_penalty=1.2)
+        L, B = 20, 2
+        rng = jax.random.PRNGKey(1)
+        out, iters = model.apply(
+            {"params": params}, rng, L, B, sampling, chunk_size=8,
+            method=model.parallel_generate)
+        assert int(iters) < L  # converged before the worst case
+
+        full = jnp.concatenate(
+            [jnp.ones((B, 1), jnp.int32), jnp.asarray(out)], axis=-1)
+
+        def hidden_fn(tokens):
+            return model.apply({"params": params}, tokens,
+                               method=model.forward_hidden)
+
+        def project_fn(h):
+            return model.apply({"params": params}, h, method=model.project)
+
+        again, iters2 = jacobi_decode(
+            hidden_fn, project_fn, B, L, rng, sampling,
+            max_iters=3, chunk_size=8, init_tokens=full)
+        np.testing.assert_array_equal(np.asarray(again), np.asarray(full))
+        assert int(iters2) == 1  # converged immediately: it's a fixed point
+
+    def test_converges_faster_than_ar(self, lm):
+        """On any non-degenerate model, convergence takes < L iterations
+        (each iteration finalizes at least one token, usually several)."""
+        model, params = lm
+        L = 32
+        _, iters = model.apply(
+            {"params": params}, jax.random.PRNGKey(5), L, 1, GREEDY,
+            chunk_size=8, method=model.parallel_generate)
+        assert int(iters) < L
+
+
+class TestJacobiVAE:
+    def test_parallel_generate_from_z(self):
+        hp = TransformerVAEHparams(
+            d_model=32, num_heads=4, num_layers=2, latent_depth=8,
+            vocab_size=128, num_encoder_latents=4,
+            sparse_self_attention=False, use_pallas_kernel=False)
+        model = TransformerVAE(hp)
+        rng = jax.random.PRNGKey(0)
+        params = model.init({"params": rng, "sample": rng},
+                            jnp.ones((1, 16), jnp.int32))["params"]
+        z = jax.random.normal(jax.random.PRNGKey(9), (2, 1, 8))
+
+        ar = model.apply({"params": params}, jax.random.PRNGKey(0), 16, 2,
+                         z, GREEDY, method=model.sample)
+        pj, _ = model.apply(
+            {"params": params}, jax.random.PRNGKey(0), 16, 2, z, GREEDY,
+            chunk_size=8, method=model.parallel_generate)
+        np.testing.assert_array_equal(np.asarray(ar), np.asarray(pj))
