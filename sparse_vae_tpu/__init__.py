@@ -17,6 +17,7 @@ from .models.generation import (DecodeState, SamplingParams, decode_loop,
 from .models.lstm_lm import LSTMLanguageModel, LSTMLanguageModelHparams
 from .models.lstm_vae import LSTMVAE, LSTMVAEHparams
 from .models.perceiver import Perceiver
+from .models.transformer import Transformer
 from .models.transformer_layer import TransformerLayer
 from .models.transformer_lm import (TransformerHparams,
                                     TransformerLanguageModel)

@@ -22,6 +22,26 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host initialization: call once per host before create_mesh.
+
+    Wraps jax.distributed.initialize — on TPU pods the arguments are
+    auto-detected from the environment, so the bare call suffices; the
+    explicit arguments support CPU/GPU multi-process testing. After this,
+    jax.devices() spans the whole slice and the same mesh/pjit code scales
+    across hosts (collectives ride ICI within a slice, DCN across slices).
+    No-ops when already initialized or when running single-process.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+    except (RuntimeError, ValueError):
+        pass  # already initialized, or single-process context
+
+
 def create_mesh(num_devices: Optional[int] = None,
                 model_axis: int = 1,
                 devices: Optional[Sequence] = None) -> Mesh:

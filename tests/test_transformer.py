@@ -256,3 +256,16 @@ class TestTransformerTraining:
         loss1, m1 = obj.loss(model, outcome.params, batch_arrays(batch),
                              40, rng)
         assert float(m1["train_nll"]) < float(m0["train_nll"])
+
+
+class TestGenericTransformer:
+    def test_forward_shapes_and_tied_head(self, rng):
+        from sparse_vae_tpu.models.transformer import Transformer
+        model = Transformer(vocab_size=64, d_model=32, num_heads=4,
+                            num_layers=2, use_pallas_kernel=False)
+        tokens = jax.random.randint(rng, (2, 12), 1, 64)
+        params = model.init(rng, tokens)
+        logits = model.apply(params, tokens)
+        assert logits.shape == (2, 12, 64)
+        # Tied head: no separate output-embedding parameter collection
+        assert "output_embedding" not in params["params"]
