@@ -31,6 +31,11 @@ class ContinuousVAEHparams(LanguageModelHparams):
     kl_weight_start: float = 1.0
     kl_weight_end: float = 1.0
     early_stopping_metric: str = "val_loss"
+    # >1: train on the K-sample IWAE bound with the DReG estimator instead
+    # of the single-sample ELBO. The reference intended this
+    # (lstm_vae.py:74,104-106 references train_mc_samples and a removed
+    # dreg_backward_pass; SURVEY §2.9) — here it is a working path.
+    train_mc_samples: int = 1
 
 
 def normalized_kl(raw_kl, num_tokens):
@@ -69,6 +74,8 @@ class VAEObjective:
              ) -> Tuple[jax.Array, Dict[str, Any]]:
         drop_rng, sample_rng, mi_rng = jax.random.split(rng, 3)
         rngs = {"dropout": drop_rng, "sample": sample_rng}
+        if getattr(self.hp, "train_mc_samples", 1) > 1:
+            return self._multi_sample_loss(module, params, batch, rngs)
         if getattr(self.hp, "loss_chunk_size", 0) and hasattr(
                 type(module), "forward_chunked_nll"):
             # Long-document path: fused projection+CE over sequence chunks,
@@ -94,6 +101,27 @@ class VAEObjective:
             metrics["train_mc_mutual_info"] = kl - marginal_kl(
                 detached, mi_rng, self.mi_samples)
         return loss, metrics
+
+    def _multi_sample_loss(self, module, params, batch, rngs
+                           ) -> Tuple[jax.Array, Dict[str, Any]]:
+        """K-sample IWAE-DReG training (train_mc_samples > 1). The KL
+        annealing schedule does not apply — the IWAE bound has no separate
+        KL term."""
+        token_ids = batch["token_ids"]
+        posterior = module.apply({"params": params}, token_ids,
+                                 rngs=rngs, method=type(module).posterior)
+
+        def reconstruct(z):
+            return module.apply({"params": params}, token_ids, z,
+                                rngs=rngs, method=type(module).reconstruct)
+
+        loss, bound = iwae_dreg_loss(
+            reconstruct, posterior, token_ids, batch["num_tokens"],
+            rngs["sample"], self.hp.train_mc_samples)
+        real = batch["num_tokens"] > 0
+        bound_mean = jnp.sum(jnp.where(real, bound, 0.0)) / jnp.maximum(
+            jnp.sum(real), 1)
+        return loss, {"train_iwae_log_prob": bound_mean}
 
     def eval_stats(self, module, params, batch, rng) -> Dict[str, jax.Array]:
         sample_rng, _ = jax.random.split(rng)
@@ -124,6 +152,72 @@ class VAEObjective:
             "val_kl": kl,
             "val_loss": nll + kl,   # transformer_vae.py:66
         }
+
+
+def _scale_gradient(x, s):
+    """Forward: x. Backward: cotangent scaled elementwise by s."""
+    return x * s - jax.lax.stop_gradient(x * s - x)
+
+
+def iwae_dreg_loss(reconstruct_logits, posterior: DiagonalGaussian,
+                   token_ids, num_tokens, rng, num_samples: int):
+    """K-sample IWAE training bound with the DReG gradient estimator
+    (Tucker et al. 2018, "Doubly Reparameterized Gradient Estimators") —
+    the working realization of the reference's removed dreg_backward_pass
+    (lstm_vae.py:106, SURVEY §2.9).
+
+    Estimator structure:
+    - log q(z|x) uses stop-gradient posterior parameters, killing the
+      high-variance score term (the "sticking the landing" part);
+    - decoder parameters receive the standard IWAE weights w̃;
+    - the reparameterized z path is rescaled so encoder gradients receive
+      weight w̃² (the doubly-reparameterized part), via a gradient-scaling
+      identity on z.
+
+    Returns (loss, bound): `loss` is per-token (mean over real rows) and is
+    minimized; its VALUE equals -bound-per-token while its GRADIENT is the
+    DReG surrogate's. `bound` is the raw per-document IWAE log p(x) [B].
+    """
+    loc = posterior.loc
+    scale = posterior.scale
+    eps = jax.random.normal(rng, (num_samples, *loc.shape), loc.dtype)
+    z = loc[None] + scale[None] * eps                    # [K, B, ...]
+    labels = token_ids[..., 1:]
+
+    q_detached = DiagonalGaussian(jax.lax.stop_gradient(loc),
+                                  jax.lax.stop_gradient(scale))
+
+    def log_w(z_k):
+        flat = z_k.reshape(*z_k.shape[:2], -1)
+        log_p_z = standard_normal_log_prob(flat)         # [K, B]
+        log_q_z = q_detached.log_prob(z_k).reshape(
+            *z_k.shape[:2], -1).sum(axis=-1)
+        logits = jax.vmap(reconstruct_logits)(z_k)       # [K, B, L, V]
+        log_p_x = sequence_log_likelihood(
+            logits[..., :-1, :],
+            jnp.broadcast_to(labels, (num_samples, *labels.shape)))
+        return log_p_x + log_p_z - log_q_z               # [K, B]
+
+    # Pass 1 (no gradients): importance weights.
+    lw_val = jax.lax.stop_gradient(log_w(jax.lax.stop_gradient(z)))
+    w_tilde = jax.nn.softmax(lw_val, axis=0)             # [K, B]
+
+    # Pass 2 (gradients): z's cotangent scaled by w̃ => encoder weight w̃².
+    z_scaled = _scale_gradient(
+        z, w_tilde.reshape(*w_tilde.shape,
+                           *([1] * (z.ndim - w_tilde.ndim))))
+    lw = log_w(z_scaled)
+    surrogate = jnp.sum(w_tilde * lw, axis=0)            # [B]
+    bound = jax.nn.logsumexp(lw_val, axis=0) - math.log(num_samples)
+
+    # Per-token loss over real rows; value from the bound, grads from the
+    # DReG surrogate.
+    per_doc = bound + (surrogate - jax.lax.stop_gradient(surrogate))
+    real = num_tokens > 0
+    denom = jnp.maximum(num_tokens, 1)
+    loss = -jnp.sum(jnp.where(real, per_doc / denom, 0.0)) / jnp.maximum(
+        jnp.sum(real), 1)
+    return loss, bound
 
 
 def estimate_log_prob_iw(reconstruct_logits, posterior: DiagonalGaussian,

@@ -197,3 +197,65 @@ class TestVAETraining:
         assert set(metrics) >= {"val_nll", "val_bpb", "val_kl", "val_loss"}
         assert metrics["val_loss"] == pytest.approx(
             metrics["val_nll"] + metrics["val_kl"], rel=1e-5)
+
+
+class TestDReG:
+    def _toy(self, rng, K=8):
+        from sparse_vae_tpu.models.vae import iwae_dreg_loss
+        V, L, B, D = 8, 6, 2, 4
+        labels = jnp.ones((B, L), jnp.int32)
+        num_tokens = jnp.array([L, L])
+
+        def make(loc_scale):
+            loc, log_scale = loc_scale
+            posterior = DiagonalGaussian(loc, jnp.exp(log_scale))
+            w = jnp.ones((D, V)) * 0.1
+
+            def reconstruct(z):
+                return jnp.einsum("bd,dv->bv", z, w)[:, None, :].repeat(
+                    L, axis=1)
+
+            return iwae_dreg_loss(reconstruct, posterior, labels,
+                                  num_tokens, rng, K)
+
+        loc = jnp.full((B, D), 0.3)
+        log_scale = jnp.zeros((B, D))
+        return make, (loc, log_scale)
+
+    def test_value_is_negative_bound_per_token(self, rng):
+        make, ps = self._toy(rng)
+        loss, bound = make(ps)
+        assert np.isfinite(float(loss))
+        assert bound.shape == (2,)
+        expected = -float((bound / 6).mean())
+        assert float(loss) == pytest.approx(expected, rel=1e-5)
+
+    def test_gradients_flow_to_posterior_params(self, rng):
+        make, ps = self._toy(rng)
+        grads = jax.grad(lambda p: make(p)[0])(ps)
+        for g in jax.tree_util.tree_leaves(grads):
+            assert np.isfinite(np.asarray(g)).all()
+            assert float(jnp.abs(g).sum()) > 0.0
+
+    def test_objective_multi_sample_path(self, rng):
+        hp = tiny_hparams(train_mc_samples=4)
+        model = LSTMVAE(hp)
+        objective = VAEObjective(hp)
+        tokens = jnp.concatenate(
+            [jnp.ones((2, 1), jnp.int32),
+             jax.random.randint(rng, (2, 15), 3, 512)], axis=1)
+        params = model.init({"params": rng, "sample": rng}, tokens)["params"]
+        batch = {"token_ids": tokens,
+                 "num_tokens": jnp.full((2,), 16, jnp.int32),
+                 "num_bytes": jnp.full((2,), 64, jnp.int32)}
+
+        def loss_fn(p):
+            return objective.loss(model, p, batch, jnp.asarray(0), rng)
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        assert np.isfinite(float(loss))
+        assert "train_iwae_log_prob" in metrics
+        gnorm = sum(float(jnp.abs(g).sum())
+                    for g in jax.tree_util.tree_leaves(grads))
+        assert np.isfinite(gnorm) and gnorm > 0.0
