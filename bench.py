@@ -23,7 +23,8 @@ import time
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true")
-    parser.add_argument("--pallas", action="store_true")
+    parser.add_argument("--pallas", action=argparse.BooleanOptionalAction,
+                        default=True)
     parser.add_argument("--steps", type=int, default=10)
     parser.add_argument("--profile", action="store_true",
                         help="jax.profiler trace of the timed steps to "

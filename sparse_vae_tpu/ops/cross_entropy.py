@@ -69,11 +69,16 @@ def chunked_cross_entropy(
     # chunks are saved and logits are recomputed in the backward pass.
     @jax.checkpoint
     def chunk_loss(h, y):
-        logits = project_fn(h)
-        log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(log_probs, y[..., None], axis=-1)[..., 0]
+        logits = project_fn(h).astype(jnp.float32)
+        # nll = logsumexp - label logit, WITHOUT materializing the full
+        # [B, C, V] log-softmax (a second multi-GB fp32 tensor per chunk):
+        # the logsumexp reduce and the label gather both consume the raw
+        # logits, which XLA keeps fused with the projection matmul.
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        label_logit = jnp.take_along_axis(
+            logits, y[..., None], axis=-1)[..., 0]
         mask = (y != 0).astype(jnp.float32)
-        return jnp.sum(nll * mask), jnp.sum(mask)
+        return jnp.sum((lse - label_logit) * mask), jnp.sum(mask)
 
     def body(carry, chunk):
         nll_sum, count = carry

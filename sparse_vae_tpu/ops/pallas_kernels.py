@@ -3,13 +3,17 @@
 The TPU-native replacement for the reference's Triton block-sparse attention
 (/root/reference/sparse_vae/core/sparse_attention.py: banded SDD matmul ->
 blocked softmax -> DSD matmul, and sparse_matmul.py's vendored kernels).
-Instead of three kernel launches with block lookup tables, one fused
-flash-style kernel walks the static band:
+Instead of three kernel launches with block lookup tables, fused flash-style
+kernels walk the static band:
 
-    grid = (batch, num_q_blocks, window + 1)
+    forward   grid = (batch, num_q_blocks, window + 1)
+    dq        grid = (batch, num_q_blocks, window + 1)
+    dk/dv     grid = (batch, num_k_blocks, window)   [band part]
+    dk/dv CLS grid = (batch, num_q_blocks - left)    [column part]
 
 The innermost grid dimension enumerates the attended key blocks of each
-query block — slot 0 is the always-attended [CLS] block
+query block (or, in the backward k/v kernels, the attending query blocks of
+each key block) — slot 0 of the forward is the always-attended [CLS] block
 (sparse_attention.py:55-57), the remaining slots are the banded window — so
 the BlockSpec index maps stream exactly the K/V tiles the sparsity pattern
 touches: O(L * window) HBM traffic, no L x L anything. All heads of a batch
@@ -18,9 +22,13 @@ block covering every head), with online softmax in fp32 VMEM scratch.
 Padding enters as per-row valid lengths via scalar prefetch (SMEM) — the
 batcher only right-pads, so a prefix length is the whole mask.
 
-Backward: jax.custom_vjp with the blocked-XLA implementation's VJP
-(sliding_window_attention.py), which is already O(L * window) memory. A
-fused Pallas backward is a further optimization, not a semantics change.
+Backward: standard flash-attention recomputation — the forward additionally
+emits the per-row log-sum-exp, the backward recomputes p = exp(s - lse) per
+block and accumulates dq over a query block's key slots, and dk/dv over a
+key block's attending query blocks. The [CLS] key block is attended by ALL
+query blocks, which breaks the banded slot structure; its extra (beyond-band)
+contributions accumulate in a separate kernel whose grid walks query blocks
+sequentially into one VMEM accumulator.
 """
 from __future__ import annotations
 
@@ -36,21 +44,24 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 NUM_LANES = 128
 
 
+def _band_left(window_size: int, causal: bool) -> int:
+    """Blocks the band extends behind (and including) the diagonal:
+    the full window for causal layouts, the ceil-half for bidirectional
+    (sparse_attention.py:46-48)."""
+    return window_size if causal else (window_size + 1) // 2
+
+
 def _slot_to_block(qb, slot, window_size: int, num_k_blocks: int,
                    causal: bool, include_cls: bool):
     """Map (q block, band slot) -> (k block index, validity).
 
     Slot 0 is the [CLS] block when include_cls (valid only when the band
     does not already reach block 0 — avoids double counting); the remaining
-    slots are the band. Causal band: blocks qb-w+1..qb. Bidirectional: the
-    ceil-left/floor-right split (sparse_attention.py:46-48).
+    slots are the band.
     """
     band_slot = slot - 1 if include_cls else slot
-    if causal:
-        band_block = qb - window_size + 1 + band_slot
-    else:
-        left = (window_size + 1) // 2
-        band_block = qb - (left - 1) + band_slot
+    left = _band_left(window_size, causal)
+    band_block = qb - (left - 1) + band_slot
     band_valid = (band_block >= 0) & (band_block < num_k_blocks)
     clipped = jnp.clip(band_block, 0, num_k_blocks - 1)
     if include_cls:
@@ -61,10 +72,37 @@ def _slot_to_block(qb, slot, window_size: int, num_k_blocks: int,
     return clipped, band_valid
 
 
-def _kernel(
+def _band_q_for_k(kb, slot, window_size: int, num_q_blocks: int,
+                  causal: bool):
+    """Inverse band map: the `slot`-th query block attending key block kb.
+    kb is in band(qb) iff qb in [kb + left - window, kb + left - 1]."""
+    left = _band_left(window_size, causal)
+    qb = kb + left - window_size + slot
+    valid = (qb >= 0) & (qb < num_q_blocks)
+    return jnp.clip(qb, 0, num_q_blocks - 1), valid
+
+
+def _block_masks(qb, k_block, s_shape, lengths_ref, bi, block_size: int,
+                 causal: bool):
+    """Key-padding + causal element mask for an [H, bq, bk] score block."""
+    row = jax.lax.broadcasted_iota(jnp.int32, s_shape, 1) + qb * block_size
+    col = jax.lax.broadcasted_iota(jnp.int32, s_shape, 2) \
+        + k_block * block_size
+    mask = col < lengths_ref[bi]
+    if causal:
+        mask = mask & (col <= row)
+    return mask
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(
     lengths_ref,                       # scalar-prefetch: [B] valid lengths
     q_ref, k_ref, v_ref,               # inputs, blocks [1, H, bs, d]
     o_ref,                             # output block [1, H, bs, d]
+    lse_ref,                           # output block [1, H, bs] (fp32)
     m_scratch, l_scratch, acc_scratch, # VMEM scratch (fp32)
     *, window_size: int, block_size: int, num_k_blocks: int, causal: bool,
     include_cls: bool, sm_scale: float,
@@ -86,19 +124,11 @@ def _kernel(
     def _update():
         q = q_ref[0]                                   # [H, bq, d]
         k = k_ref[0]                                   # [H, bk, d]
-        # Batched-over-heads QK^T on the MXU: [H, bq, bk]
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * sm_scale
-
-        # Element masks: within-diagonal causal + key-padding prefix length.
-        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
-            + qb * block_size
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) \
-            + k_block * block_size
-        mask = col < lengths_ref[bi]
-        if causal:
-            mask = mask & (col <= row)
+        mask = _block_masks(qb, k_block, s.shape, lengths_ref, bi,
+                            block_size, causal)
         s = jnp.where(mask, s, MASK_VALUE)
 
         m_prev = m_scratch[...]                        # [H, bq, LANES]
@@ -119,9 +149,11 @@ def _kernel(
 
     @pl.when(slot == pl.num_programs(2) - 1)
     def _store():
-        l = l_scratch[...][..., :1]
-        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        m = m_scratch[...][..., 0]                     # [H, bq]
+        l = l_scratch[...][..., 0]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scratch[...] / l_safe[..., None]).astype(o_ref.dtype)
+        lse_ref[0] = m + jnp.log(l_safe)
 
 
 @functools.partial(
@@ -148,13 +180,14 @@ def _sliding_window_attention_fwd_pallas(
         return (bi, 0, kb, 0)
 
     kernel = functools.partial(
-        _kernel, window_size=window_size, block_size=block_size,
+        _fwd_kernel, window_size=window_size, block_size=block_size,
         num_k_blocks=nb, causal=causal, include_cls=include_cls,
         sm_scale=d ** -0.5)
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h, L, d), q.dtype),
+        out_shape=(jax.ShapeDtypeStruct((b, h, L, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, L), jnp.float32)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, nb, slots),
@@ -164,8 +197,12 @@ def _sliding_window_attention_fwd_pallas(
                 pl.BlockSpec((1, h, block_size, d), k_index),
                 pl.BlockSpec((1, h, block_size, d), k_index),
             ],
-            out_specs=pl.BlockSpec((1, h, block_size, d),
-                                   lambda bi, qb, slot, lens: (bi, 0, qb, 0)),
+            out_specs=(
+                pl.BlockSpec((1, h, block_size, d),
+                             lambda bi, qb, slot, lens: (bi, 0, qb, 0)),
+                pl.BlockSpec((1, h, block_size),
+                             lambda bi, qb, slot, lens: (bi, 0, qb)),
+            ),
             scratch_shapes=[
                 pltpu.VMEM((h, block_size, NUM_LANES), jnp.float32),
                 pltpu.VMEM((h, block_size, NUM_LANES), jnp.float32),
@@ -177,8 +214,275 @@ def _sliding_window_attention_fwd_pallas(
         ),
         interpret=interpret,
     )(lengths, q, k, v)
-    return out
+    return out, lse, lengths
 
+
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+
+def _recompute_p_ds(q, k, v, do, lse, delta, mask, sm_scale):
+    """Shared backward math for one (q block, k block) tile.
+
+    Returns (p, ds): p = exp(s - lse) masked, ds = p * (dp - delta) * scale.
+    All fp32; q/k/v/do may be bf16.
+    """
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * sm_scale        # [H, bq, bk]
+    p = jnp.where(mask, jnp.exp(s - lse[..., None]), 0.0)
+    dp = jax.lax.dot_general(
+        do, v, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                   # [H, bq, bk]
+    ds = p * (dp - delta[..., None]) * sm_scale
+    return p, ds
+
+
+def _dq_kernel(
+    lengths_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref,
+    acc_scratch,
+    *, window_size: int, block_size: int, num_k_blocks: int, causal: bool,
+    include_cls: bool, sm_scale: float,
+):
+    bi = pl.program_id(0)
+    qb = pl.program_id(1)
+    slot = pl.program_id(2)
+
+    @pl.when(slot == 0)
+    def _init():
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    k_block, valid = _slot_to_block(qb, slot, window_size, num_k_blocks,
+                                    causal, include_cls)
+
+    @pl.when(valid)
+    def _update():
+        q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+        mask = _block_masks(qb, k_block, (q.shape[0], q.shape[1], k.shape[1]),
+                            lengths_ref, bi, block_size, causal)
+        _, ds = _recompute_p_ds(q, k, v, do, lse_ref[0], delta_ref[0],
+                                mask, sm_scale)
+        acc_scratch[...] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)               # [H, bq, d]
+
+    @pl.when(slot == pl.num_programs(2) - 1)
+    def _store():
+        dq_ref[0] = acc_scratch[...].astype(dq_ref.dtype)
+
+
+def _dkv_band_kernel(
+    lengths_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref,
+    dk_scratch, dv_scratch,
+    *, window_size: int, block_size: int, num_q_blocks: int, causal: bool,
+    sm_scale: float,
+):
+    bi = pl.program_id(0)
+    kb = pl.program_id(1)
+    slot = pl.program_id(2)
+
+    @pl.when(slot == 0)
+    def _init():
+        dk_scratch[...] = jnp.zeros_like(dk_scratch)
+        dv_scratch[...] = jnp.zeros_like(dv_scratch)
+
+    qb, valid = _band_q_for_k(kb, slot, window_size, num_q_blocks, causal)
+
+    @pl.when(valid)
+    def _update():
+        q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+        mask = _block_masks(qb, kb, (q.shape[0], q.shape[1], k.shape[1]),
+                            lengths_ref, bi, block_size, causal)
+        p, ds = _recompute_p_ds(q, k, v, do, lse_ref[0], delta_ref[0],
+                                mask, sm_scale)
+        # dv += p^T do ; dk += ds^T q  (contract the query dim)
+        dv_scratch[...] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)               # [H, bk, d]
+        dk_scratch[...] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(slot == pl.num_programs(2) - 1)
+    def _store():
+        dk_ref[0] = dk_scratch[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scratch[...].astype(dv_ref.dtype)
+
+
+def _dkv_cls_kernel(
+    lengths_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref,
+    dk_scratch, dv_scratch,
+    *, block_size: int, q_start: int, causal: bool, sm_scale: float,
+):
+    """Beyond-band contributions of every query block to key block 0 (the
+    [CLS] column). Grid walks q blocks q_start.. sequentially, accumulating
+    into one [H, bs, d] pair written once at the end."""
+    bi = pl.program_id(0)
+    j = pl.program_id(1)
+    qb = q_start + j
+
+    @pl.when(j == 0)
+    def _init():
+        dk_scratch[...] = jnp.zeros_like(dk_scratch)
+        dv_scratch[...] = jnp.zeros_like(dv_scratch)
+
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    mask = _block_masks(qb, 0, (q.shape[0], q.shape[1], k.shape[1]),
+                        lengths_ref, bi, block_size, causal)
+    p, ds = _recompute_p_ds(q, k, v, do, lse_ref[0], delta_ref[0],
+                            mask, sm_scale)
+    dv_scratch[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    dk_scratch[...] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _store():
+        dk_ref[0] = dk_scratch[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scratch[...].astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("window_size", "block_size", "causal", "include_cls",
+                     "interpret"))
+def _bwd_pallas(q, k, v, lengths, lse, o, do, *, window_size: int,
+                block_size: int, causal: bool, include_cls: bool,
+                interpret: bool = False):
+    b, h, L, d = q.shape
+    nb = L // block_size
+    slots = window_size + (1 if include_cls else 0)
+    sm_scale = d ** -0.5
+
+    # delta_i = rowsum(do_i * o_i): tiny elementwise reduce, XLA fuses it.
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1)                                   # [B, H, L]
+
+    qspec = pl.BlockSpec((1, h, block_size, d),
+                         lambda bi, qb, slot, lens: (bi, 0, qb, 0))
+    rowspec = pl.BlockSpec((1, h, block_size),
+                           lambda bi, qb, slot, lens: (bi, 0, qb))
+
+    def k_index(bi, qb, slot, lens):
+        kb, _ = _slot_to_block(qb, slot, window_size, nb, causal,
+                               include_cls)
+        return (bi, 0, kb, 0)
+
+    kspec = pl.BlockSpec((1, h, block_size, d), k_index)
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _dq_kernel, window_size=window_size, block_size=block_size,
+            num_k_blocks=nb, causal=causal, include_cls=include_cls,
+            sm_scale=sm_scale),
+        out_shape=jax.ShapeDtypeStruct((b, h, L, d), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, nb, slots),
+            in_specs=[qspec, kspec, kspec, qspec, rowspec, rowspec],
+            out_specs=pl.BlockSpec(
+                (1, h, block_size, d),
+                lambda bi, qb, slot, lens: (bi, 0, qb, 0)),
+            scratch_shapes=[pltpu.VMEM((h, block_size, d), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(lengths, q, k, v, do, lse, delta)
+
+    # Band part of dk/dv: walk each key block's attending query blocks.
+    def q_index(bi, kb, slot, lens):
+        qb, _ = _band_q_for_k(kb, slot, window_size, nb, causal)
+        return (bi, 0, qb, 0)
+
+    def qrow_index(bi, kb, slot, lens):
+        qb, _ = _band_q_for_k(kb, slot, window_size, nb, causal)
+        return (bi, 0, qb)
+
+    kself = pl.BlockSpec((1, h, block_size, d),
+                         lambda bi, kb, slot, lens: (bi, 0, kb, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _dkv_band_kernel, window_size=window_size,
+            block_size=block_size, num_q_blocks=nb, causal=causal,
+            sm_scale=sm_scale),
+        out_shape=(jax.ShapeDtypeStruct((b, h, L, d), k.dtype),
+                   jax.ShapeDtypeStruct((b, h, L, d), v.dtype)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, nb, window_size),
+            in_specs=[
+                pl.BlockSpec((1, h, block_size, d), q_index),
+                kself, kself,
+                pl.BlockSpec((1, h, block_size, d), q_index),
+                pl.BlockSpec((1, h, block_size), qrow_index),
+                pl.BlockSpec((1, h, block_size), qrow_index),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, h, block_size, d),
+                             lambda bi, kb, slot, lens: (bi, 0, kb, 0)),
+                pl.BlockSpec((1, h, block_size, d),
+                             lambda bi, kb, slot, lens: (bi, 0, kb, 0)),
+            ),
+            scratch_shapes=[pltpu.VMEM((h, block_size, d), jnp.float32),
+                            pltpu.VMEM((h, block_size, d), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(lengths, q, k, v, do, lse, delta)
+
+    # CLS column: query blocks beyond band(0) also hit key block 0.
+    left = _band_left(window_size, causal)
+    if include_cls and nb > left:
+        cspec = pl.BlockSpec((1, h, block_size, d),
+                             lambda bi, j, lens: (bi, 0, left + j, 0))
+        crow = pl.BlockSpec((1, h, block_size),
+                            lambda bi, j, lens: (bi, 0, left + j))
+        k0 = pl.BlockSpec((1, h, block_size, d),
+                          lambda bi, j, lens: (bi, 0, 0, 0))
+        dk0, dv0 = pl.pallas_call(
+            functools.partial(
+                _dkv_cls_kernel, block_size=block_size, q_start=left,
+                causal=causal, sm_scale=sm_scale),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, h, block_size, d), k.dtype),
+                jax.ShapeDtypeStruct((b, h, block_size, d), v.dtype)),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(b, nb - left),
+                in_specs=[cspec, k0, k0, cspec, crow, crow],
+                out_specs=(
+                    pl.BlockSpec((1, h, block_size, d),
+                                 lambda bi, j, lens: (bi, 0, 0, 0)),
+                    pl.BlockSpec((1, h, block_size, d),
+                                 lambda bi, j, lens: (bi, 0, 0, 0)),
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((h, block_size, d), jnp.float32),
+                    pltpu.VMEM((h, block_size, d), jnp.float32)],
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+            interpret=interpret,
+        )(lengths, q, k, v, do, lse, delta)
+        dk = dk.at[:, :, :block_size].add(dk0)
+        dv = dv.at[:, :, :block_size].add(dv0)
+
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper
+# ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp,
                    nondiff_argnums=(4, 5, 6, 7, 8))
@@ -187,37 +491,33 @@ def sliding_window_attention_pallas(q, k, v, kv_mask, window_size: int = 2,
                                     causal: bool = True,
                                     include_cls: bool = True,
                                     interpret: bool = False):
-    """Fused sliding-window + CLS attention, Pallas forward.
+    """Fused sliding-window + CLS attention, Pallas forward AND backward.
 
     q/k/v: [B, H, L, D]; kv_mask: [B, L] bool or None (right-padding
     prefix). Semantics identical to sliding_window_attention_xla (tested
-    against it and the dense oracle). Backward runs the blocked-XLA VJP.
+    against it and the dense oracle, gradients included).
     """
-    return _sliding_window_attention_fwd_pallas(
+    out, _, _ = _sliding_window_attention_fwd_pallas(
         q, k, v, kv_mask, window_size=window_size, block_size=block_size,
         causal=causal, include_cls=include_cls, interpret=interpret)
+    return out
 
 
 def _fwd(q, k, v, kv_mask, window_size, block_size, causal, include_cls,
          interpret):
-    out = _sliding_window_attention_fwd_pallas(
+    out, lse, lengths = _sliding_window_attention_fwd_pallas(
         q, k, v, kv_mask, window_size=window_size, block_size=block_size,
         causal=causal, include_cls=include_cls, interpret=interpret)
-    return out, (q, k, v, kv_mask)
+    return out, (q, k, v, lengths, lse, out)
 
 
 def _bwd(window_size, block_size, causal, include_cls, interpret,
          residuals, g):
-    from .sliding_window_attention import sliding_window_attention_xla
-    q, k, v, kv_mask = residuals
-
-    def f(q, k, v):
-        return sliding_window_attention_xla(
-            q, k, v, kv_mask, window_size=window_size,
-            block_size=block_size, causal=causal, include_cls=include_cls)
-
-    _, vjp = jax.vjp(f, q, k, v)
-    dq, dk, dv = vjp(g)
+    q, k, v, lengths, lse, out = residuals
+    dq, dk, dv = _bwd_pallas(
+        q, k, v, lengths, lse, out, g, window_size=window_size,
+        block_size=block_size, causal=causal, include_cls=include_cls,
+        interpret=interpret)
     return dq, dk, dv, None
 
 

@@ -99,3 +99,76 @@ class TestPallasBackward:
         gx = jax.grad(f_xla, argnums=(0, 1, 2))(q, k, v)
         for a, b in zip(gp, gx):
             np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-5)
+
+    @pytest.mark.parametrize("window", [1, 2, 3])
+    @pytest.mark.parametrize("causal", [True, False])
+    def test_grads_match_xla_windows(self, rng, window, causal):
+        q, k, v = rand_qkv(rng, b=1, h=2, L=192, d=32)
+
+        def f_pallas(q, k, v):
+            return jnp.sum(jnp.sin(sliding_window_attention_pallas(
+                q, k, v, None, window, 32, causal, True, True)))
+
+        def f_xla(q, k, v):
+            return jnp.sum(jnp.sin(sliding_window_attention_xla(
+                q, k, v, None, window_size=window, block_size=32,
+                causal=causal)))
+
+        gp = jax.grad(f_pallas, argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(f_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gp, gx):
+            np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-5)
+
+    def test_grads_no_cls(self, rng):
+        q, k, v = rand_qkv(rng, b=1, h=1, L=128, d=32)
+
+        def f(impl):
+            def g(q, k, v):
+                return jnp.sum(impl(q, k, v) ** 2)
+            return jax.grad(g, argnums=(0, 1, 2))(q, k, v)
+
+        gp = f(lambda q, k, v: sliding_window_attention_pallas(
+            q, k, v, None, 2, 32, True, False, True))
+        gx = f(lambda q, k, v: sliding_window_attention_xla(
+            q, k, v, None, window_size=2, block_size=32, causal=True,
+            include_cls=False))
+        for a, b in zip(gp, gx):
+            np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-5)
+
+    def test_grads_with_padding(self, rng):
+        q, k, v = rand_qkv(rng, b=2, h=1, L=128, d=32)
+        kv_mask = jnp.arange(128)[None, :] < jnp.array([[100], [40]])
+        # Zero query-grad contributions from pad rows, as the model does
+        # (loss masks pad positions => their upstream cotangent is 0).
+        row_mask = kv_mask[:, None, :, None]
+
+        def f(impl):
+            def g(q, k, v):
+                out = impl(q, k, v) * row_mask
+                return jnp.sum(out ** 2)
+            return jax.grad(g, argnums=(0, 1, 2))(q, k, v)
+
+        gp = f(lambda q, k, v: sliding_window_attention_pallas(
+            q, k, v, kv_mask, 2, 32, True, True, True))
+        gx = f(lambda q, k, v: sliding_window_attention_xla(
+            q, k, v, kv_mask, window_size=2, block_size=32))
+        for a, b in zip(gp, gx):
+            np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-5)
+
+    def test_grads_bf16(self, rng):
+        q, k, v = (t.astype(jnp.bfloat16)
+                   for t in rand_qkv(rng, b=1, h=2, L=128, d=64))
+
+        def f(impl):
+            def g(q, k, v):
+                return jnp.sum(impl(q, k, v).astype(jnp.float32) ** 2)
+            return jax.grad(g, argnums=(0, 1, 2))(q, k, v)
+
+        gp = f(lambda q, k, v: sliding_window_attention_pallas(
+            q, k, v, None, 2, 64, True, True, True))
+        gx = f(lambda q, k, v: sliding_window_attention_xla(
+            q, k, v, None, window_size=2, block_size=64))
+        for a, b in zip(gp, gx):
+            np.testing.assert_allclose(a.astype(jnp.float32),
+                                       b.astype(jnp.float32),
+                                       rtol=5e-2, atol=5e-2)

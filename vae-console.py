@@ -47,7 +47,10 @@ commands = {"encode": encode, "load": load, "help": print_help}
 
 
 def main(args):
-    load(args[1])
+    if len(args) > 1:
+        load(args[1])
+    else:
+        print("No run loaded; use `load <run-name>`.")
     print("This is an augmented Python console. Type 'help' for commands.")
     while True:
         try:
