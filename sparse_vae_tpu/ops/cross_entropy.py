@@ -60,9 +60,6 @@ def chunked_cross_entropy(
         hidden = jnp.pad(hidden, ((0, 0), (0, padded - length), (0, 0)))
         labels = jnp.pad(labels, ((0, 0), (0, padded - length)))
 
-    hidden = hidden.reshape(b, num_chunks, chunk_size, d).swapaxes(0, 1)
-    labels = labels.reshape(b, num_chunks, chunk_size).swapaxes(0, 1)
-
     # Remat the chunk body: without it, lax.scan stacks every chunk's
     # [B, C, V] logits as backward residuals — exactly the memory blow-up
     # this function exists to avoid. With remat only the [B, C, D] hidden
@@ -80,14 +77,21 @@ def chunked_cross_entropy(
         mask = (y != 0).astype(jnp.float32)
         return jnp.sum((lse - label_logit) * mask), jnp.sum(mask)
 
-    def body(carry, chunk):
+    # Scan over chunk *indices* and dynamic-slice in place — stacking
+    # [num_chunks, B, C, D] via reshape+transpose costs a full extra copy
+    # of the hidden states in HBM.
+    def body(carry, ci):
         nll_sum, count = carry
-        s, c = chunk_loss(*chunk)
+        h = jax.lax.dynamic_slice_in_dim(hidden, ci * chunk_size,
+                                         chunk_size, axis=1)
+        y = jax.lax.dynamic_slice_in_dim(labels, ci * chunk_size,
+                                         chunk_size, axis=1)
+        s, c = chunk_loss(h, y)
         return (nll_sum + s, count + c), None
 
     (nll_sum, count), _ = jax.lax.scan(
         body, (jnp.zeros([], jnp.float32), jnp.zeros([], jnp.float32)),
-        (hidden, labels))
+        jnp.arange(num_chunks))
     return nll_sum, count
 
 

@@ -6,27 +6,28 @@ blocked softmax -> DSD matmul, and sparse_matmul.py's vendored kernels).
 Instead of three kernel launches with block lookup tables, fused flash-style
 kernels walk the static band:
 
-    forward   grid = (batch, num_q_blocks, window + 1)
-    dq        grid = (batch, num_q_blocks, window + 1)
-    dk/dv     grid = (batch, num_k_blocks, window)   [band part]
-    dk/dv CLS grid = (batch, num_q_blocks - left)    [column part]
+    forward   grid = (batch, num_q_blocks)   slots unrolled in-kernel
+    dq        grid = (batch, num_q_blocks)   slots unrolled in-kernel
+    dk/dv     grid = (batch, num_k_blocks)   attending q blocks unrolled
+    dk/dv CLS grid = (batch, num_q_blocks - left)   sequential accumulation
 
-The innermost grid dimension enumerates the attended key blocks of each
-query block (or, in the backward k/v kernels, the attending query blocks of
-each key block) — slot 0 of the forward is the always-attended [CLS] block
-(sparse_attention.py:55-57), the remaining slots are the banded window — so
-the BlockSpec index maps stream exactly the K/V tiles the sparsity pattern
-touches: O(L * window) HBM traffic, no L x L anything. All heads of a batch
-row are processed in one grid step (batched MXU matmuls, one DMA per K/V
-block covering every head), with online softmax in fp32 VMEM scratch.
-Padding enters as per-row valid lengths via scalar prefetch (SMEM) — the
-batcher only right-pads, so a prefix length is the whole mask.
+Each query block's attended key blocks (the banded window plus the
+always-attended [CLS] block, sparse_attention.py:55-57) arrive as separate
+BlockSpec inputs — the index maps stream exactly the K/V tiles the sparsity
+pattern touches, O(L * window) HBM traffic, no L x L anything. The band loop
+is unrolled inside one grid step with the online softmax carried in
+registers: no VMEM scratch round-trips, no @pl.when phase logic, and every
+grid dimension is "parallel" so Mosaic pipelines the DMAs. All heads of a
+batch row are processed together (batched MXU matmuls, one DMA per K/V block
+covering every head). Padding enters as per-row valid lengths via scalar
+prefetch (SMEM) — the batcher only right-pads, so a prefix length is the
+whole mask.
 
 Backward: standard flash-attention recomputation — the forward additionally
 emits the per-row log-sum-exp, the backward recomputes p = exp(s - lse) per
-block and accumulates dq over a query block's key slots, and dk/dv over a
+tile and accumulates dq over a query block's key slots, and dk/dv over a
 key block's attending query blocks. The [CLS] key block is attended by ALL
-query blocks, which breaks the banded slot structure; its extra (beyond-band)
+query blocks, which breaks the banded slot structure; its beyond-band
 contributions accumulate in a separate kernel whose grid walks query blocks
 sequentially into one VMEM accumulator.
 """
@@ -41,7 +42,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
-NUM_LANES = 128
 
 
 def _band_left(window_size: int, causal: bool) -> int:
@@ -64,11 +64,9 @@ def _slot_to_block(qb, slot, window_size: int, num_k_blocks: int,
     band_block = qb - (left - 1) + band_slot
     band_valid = (band_block >= 0) & (band_block < num_k_blocks)
     clipped = jnp.clip(band_block, 0, num_k_blocks - 1)
-    if include_cls:
-        first_band = band_block - band_slot  # leftmost band block
-        k_block = jnp.where(slot == 0, 0, clipped)
-        valid = jnp.where(slot == 0, first_band > 0, band_valid)
-        return k_block, valid
+    if include_cls and slot == 0:
+        first_band = qb - (left - 1)  # leftmost band block
+        return jnp.zeros_like(clipped), first_band > 0
     return clipped, band_valid
 
 
@@ -82,13 +80,13 @@ def _band_q_for_k(kb, slot, window_size: int, num_q_blocks: int,
     return jnp.clip(qb, 0, num_q_blocks - 1), valid
 
 
-def _block_masks(qb, k_block, s_shape, lengths_ref, bi, block_size: int,
-                 causal: bool):
-    """Key-padding + causal element mask for an [H, bq, bk] score block."""
-    row = jax.lax.broadcasted_iota(jnp.int32, s_shape, 1) + qb * block_size
-    col = jax.lax.broadcasted_iota(jnp.int32, s_shape, 2) \
-        + k_block * block_size
-    mask = col < lengths_ref[bi]
+def _tile_mask(qb, kb, valid, shape_qk, length, block_size: int,
+               causal: bool):
+    """[bq, bk] element mask for one (q block, k block) tile: slot validity,
+    key-padding prefix, and the causal triangle."""
+    row = jax.lax.broadcasted_iota(jnp.int32, shape_qk, 0) + qb * block_size
+    col = jax.lax.broadcasted_iota(jnp.int32, shape_qk, 1) + kb * block_size
+    mask = (col < length) & valid
     if causal:
         mask = mask & (col <= row)
     return mask
@@ -98,62 +96,47 @@ def _block_masks(qb, k_block, s_shape, lengths_ref, bi, block_size: int,
 # Forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(
-    lengths_ref,                       # scalar-prefetch: [B] valid lengths
-    q_ref, k_ref, v_ref,               # inputs, blocks [1, H, bs, d]
-    o_ref,                             # output block [1, H, bs, d]
-    lse_ref,                           # output block [1, H, bs] (fp32)
-    m_scratch, l_scratch, acc_scratch, # VMEM scratch (fp32)
-    *, window_size: int, block_size: int, num_k_blocks: int, causal: bool,
-    include_cls: bool, sm_scale: float,
-):
+def _fwd_kernel(lengths_ref, q_ref, *refs, window_size: int,
+                block_size: int, num_k_blocks: int, causal: bool,
+                include_cls: bool, sm_scale: float, slots: int):
     bi = pl.program_id(0)
     qb = pl.program_id(1)
-    slot = pl.program_id(2)
+    k_refs, v_refs = refs[:slots], refs[slots:2 * slots]
+    o_ref, lse_ref = refs[2 * slots], refs[2 * slots + 1]
 
-    @pl.when(slot == 0)
-    def _init():
-        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
-        l_scratch[...] = jnp.zeros_like(l_scratch)
-        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+    q = q_ref[0]                                       # [H, bq, d]
+    h, bq, d = q.shape
+    length = lengths_ref[bi]
 
-    k_block, valid = _slot_to_block(qb, slot, window_size, num_k_blocks,
-                                    causal, include_cls)
+    m = jnp.full((h, bq, 1), -jnp.inf, jnp.float32)
+    l = jnp.zeros((h, bq, 1), jnp.float32)
+    acc = jnp.zeros((h, bq, d), jnp.float32)
 
-    @pl.when(valid)
-    def _update():
-        q = q_ref[0]                                   # [H, bq, d]
-        k = k_ref[0]                                   # [H, bk, d]
+    for slot in range(slots):
+        k_block, valid = _slot_to_block(qb, slot, window_size, num_k_blocks,
+                                        causal, include_cls)
+        k = k_refs[slot][0]                            # [H, bk, d]
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * sm_scale
-        mask = _block_masks(qb, k_block, s.shape, lengths_ref, bi,
-                            block_size, causal)
-        s = jnp.where(mask, s, MASK_VALUE)
+        mask = _tile_mask(qb, k_block, valid, s.shape[1:], length,
+                          block_size, causal)
+        s = jnp.where(mask[None], s, MASK_VALUE)
 
-        m_prev = m_scratch[...]                        # [H, bq, LANES]
-        l_prev = l_scratch[...]
-        m_curr = jnp.max(s, axis=2)[..., None]         # [H, bq, 1]
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[..., :1])               # [H, bq, bk]
-        l_next = alpha * l_prev + jnp.sum(p, axis=2)[..., None]
-        m_scratch[...] = m_next
-        l_scratch[...] = l_next
-
-        acc_scratch[...] *= alpha[..., :1]
-        v = v_ref[0]                                   # [H, bk, d]
-        acc_scratch[...] += jax.lax.dot_general(
+        m_curr = jnp.max(s, axis=2, keepdims=True)     # [H, bq, 1]
+        m_next = jnp.maximum(m, m_curr)
+        alpha = jnp.exp(m - m_next)
+        p = jnp.exp(s - m_next)                        # [H, bq, bk]
+        l = alpha * l + jnp.sum(p, axis=2, keepdims=True)
+        v = v_refs[slot][0]
+        acc = acc * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
+        m = m_next
 
-    @pl.when(slot == pl.num_programs(2) - 1)
-    def _store():
-        m = m_scratch[...][..., 0]                     # [H, bq]
-        l = l_scratch[...][..., 0]
-        l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc_scratch[...] / l_safe[..., None]).astype(o_ref.dtype)
-        lse_ref[0] = m + jnp.log(l_safe)
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+    lse_ref[0] = (m + jnp.log(l_safe))[..., 0]
 
 
 @functools.partial(
@@ -174,15 +157,22 @@ def _sliding_window_attention_fwd_pallas(
         # Right-padding only => the mask is a prefix; row sum = valid length.
         lengths = jnp.sum(kv_mask.astype(jnp.int32), axis=-1)
 
-    def k_index(bi, qb, slot, lens):
-        kb, _ = _slot_to_block(qb, slot, window_size, nb, causal,
-                               include_cls)
-        return (bi, 0, kb, 0)
+    def k_index(slot):
+        def index(bi, qb, lens):
+            kb, _ = _slot_to_block(qb, slot, window_size, nb, causal,
+                                   include_cls)
+            return (bi, 0, kb, 0)
+        return index
+
+    qspec = pl.BlockSpec((1, h, block_size, d),
+                         lambda bi, qb, lens: (bi, 0, qb, 0))
+    kspecs = [pl.BlockSpec((1, h, block_size, d), k_index(s))
+              for s in range(slots)]
 
     kernel = functools.partial(
         _fwd_kernel, window_size=window_size, block_size=block_size,
         num_k_blocks=nb, causal=causal, include_cls=include_cls,
-        sm_scale=d ** -0.5)
+        sm_scale=d ** -0.5, slots=slots)
 
     out, lse = pl.pallas_call(
         kernel,
@@ -190,30 +180,20 @@ def _sliding_window_attention_fwd_pallas(
                    jax.ShapeDtypeStruct((b, h, L), jnp.float32)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b, nb, slots),
-            in_specs=[
-                pl.BlockSpec((1, h, block_size, d),
-                             lambda bi, qb, slot, lens: (bi, 0, qb, 0)),
-                pl.BlockSpec((1, h, block_size, d), k_index),
-                pl.BlockSpec((1, h, block_size, d), k_index),
-            ],
+            grid=(b, nb),
+            in_specs=[qspec] + kspecs + kspecs,
             out_specs=(
                 pl.BlockSpec((1, h, block_size, d),
-                             lambda bi, qb, slot, lens: (bi, 0, qb, 0)),
+                             lambda bi, qb, lens: (bi, 0, qb, 0)),
                 pl.BlockSpec((1, h, block_size),
-                             lambda bi, qb, slot, lens: (bi, 0, qb)),
+                             lambda bi, qb, lens: (bi, 0, qb)),
             ),
-            scratch_shapes=[
-                pltpu.VMEM((h, block_size, NUM_LANES), jnp.float32),
-                pltpu.VMEM((h, block_size, NUM_LANES), jnp.float32),
-                pltpu.VMEM((h, block_size, d), jnp.float32),
-            ],
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
-    )(lengths, q, k, v)
+    )(lengths, q, *([k] * slots), *([v] * slots))
     return out, lse, lengths
 
 
@@ -221,96 +201,80 @@ def _sliding_window_attention_fwd_pallas(
 # Backward
 # ---------------------------------------------------------------------------
 
-def _recompute_p_ds(q, k, v, do, lse, delta, mask, sm_scale):
-    """Shared backward math for one (q block, k block) tile.
-
-    Returns (p, ds): p = exp(s - lse) masked, ds = p * (dp - delta) * scale.
-    All fp32; q/k/v/do may be bf16.
-    """
+def _p_and_ds(q, k, v, do, lse, delta, mask, sm_scale):
+    """Shared backward math for one (q block, k block) tile: recompute
+    p = exp(s - lse) under the mask and ds = p * (dp - delta) * scale."""
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32) * sm_scale        # [H, bq, bk]
-    p = jnp.where(mask, jnp.exp(s - lse[..., None]), 0.0)
+        preferred_element_type=jnp.float32) * sm_scale       # [H, bq, bk]
+    p = jnp.where(mask[None], jnp.exp(s - lse[..., None]), 0.0)
     dp = jax.lax.dot_general(
         do, v, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)                   # [H, bq, bk]
+        preferred_element_type=jnp.float32)                  # [H, bq, bk]
     ds = p * (dp - delta[..., None]) * sm_scale
     return p, ds
 
 
-def _dq_kernel(
-    lengths_ref,
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-    dq_ref,
-    acc_scratch,
-    *, window_size: int, block_size: int, num_k_blocks: int, causal: bool,
-    include_cls: bool, sm_scale: float,
-):
+def _dq_kernel(lengths_ref, q_ref, do_ref, lse_ref, delta_ref, *refs,
+               window_size: int, block_size: int, num_k_blocks: int,
+               causal: bool, include_cls: bool, sm_scale: float, slots: int):
     bi = pl.program_id(0)
     qb = pl.program_id(1)
-    slot = pl.program_id(2)
+    k_refs, v_refs = refs[:slots], refs[slots:2 * slots]
+    dq_ref = refs[2 * slots]
 
-    @pl.when(slot == 0)
-    def _init():
-        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+    q, do = q_ref[0], do_ref[0]
+    lse, delta = lse_ref[0], delta_ref[0]
+    h, bq, d = q.shape
+    length = lengths_ref[bi]
 
-    k_block, valid = _slot_to_block(qb, slot, window_size, num_k_blocks,
-                                    causal, include_cls)
-
-    @pl.when(valid)
-    def _update():
-        q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
-        mask = _block_masks(qb, k_block, (q.shape[0], q.shape[1], k.shape[1]),
-                            lengths_ref, bi, block_size, causal)
-        _, ds = _recompute_p_ds(q, k, v, do, lse_ref[0], delta_ref[0],
-                                mask, sm_scale)
-        acc_scratch[...] += jax.lax.dot_general(
+    acc = jnp.zeros((h, bq, d), jnp.float32)
+    for slot in range(slots):
+        k_block, valid = _slot_to_block(qb, slot, window_size, num_k_blocks,
+                                        causal, include_cls)
+        k, v = k_refs[slot][0], v_refs[slot][0]
+        mask = _tile_mask(qb, k_block, valid, (bq, k.shape[1]), length,
+                          block_size, causal)
+        _, ds = _p_and_ds(q, k, v, do, lse, delta, mask, sm_scale)
+        acc += jax.lax.dot_general(
             ds.astype(k.dtype), k, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)               # [H, bq, d]
-
-    @pl.when(slot == pl.num_programs(2) - 1)
-    def _store():
-        dq_ref[0] = acc_scratch[...].astype(dq_ref.dtype)
+            preferred_element_type=jnp.float32)              # [H, bq, d]
+    dq_ref[0] = acc.astype(dq_ref.dtype)
 
 
-def _dkv_band_kernel(
-    lengths_ref,
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-    dk_ref, dv_ref,
-    dk_scratch, dv_scratch,
-    *, window_size: int, block_size: int, num_q_blocks: int, causal: bool,
-    sm_scale: float,
-):
+def _dkv_band_kernel(lengths_ref, k_ref, v_ref, *refs, window_size: int,
+                     block_size: int, num_q_blocks: int, causal: bool,
+                     sm_scale: float):
     bi = pl.program_id(0)
     kb = pl.program_id(1)
-    slot = pl.program_id(2)
+    w = window_size
+    q_refs, do_refs = refs[:w], refs[w:2 * w]
+    lse_refs, delta_refs = refs[2 * w:3 * w], refs[3 * w:4 * w]
+    dk_ref, dv_ref = refs[4 * w], refs[4 * w + 1]
 
-    @pl.when(slot == 0)
-    def _init():
-        dk_scratch[...] = jnp.zeros_like(dk_scratch)
-        dv_scratch[...] = jnp.zeros_like(dv_scratch)
+    k, v = k_ref[0], v_ref[0]
+    h, bk, d = k.shape
+    length = lengths_ref[bi]
 
-    qb, valid = _band_q_for_k(kb, slot, window_size, num_q_blocks, causal)
-
-    @pl.when(valid)
-    def _update():
-        q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
-        mask = _block_masks(qb, kb, (q.shape[0], q.shape[1], k.shape[1]),
-                            lengths_ref, bi, block_size, causal)
-        p, ds = _recompute_p_ds(q, k, v, do, lse_ref[0], delta_ref[0],
-                                mask, sm_scale)
+    dk = jnp.zeros((h, bk, d), jnp.float32)
+    dv = jnp.zeros((h, bk, d), jnp.float32)
+    for slot in range(w):
+        qb, valid = _band_q_for_k(kb, slot, window_size, num_q_blocks,
+                                  causal)
+        q, do = q_refs[slot][0], do_refs[slot][0]
+        mask = _tile_mask(qb, kb, valid, (q.shape[1], bk), length,
+                          block_size, causal)
+        p, ds = _p_and_ds(q, k, v, do, lse_refs[slot][0],
+                          delta_refs[slot][0], mask, sm_scale)
         # dv += p^T do ; dk += ds^T q  (contract the query dim)
-        dv_scratch[...] += jax.lax.dot_general(
+        dv += jax.lax.dot_general(
             p.astype(do.dtype), do, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)               # [H, bk, d]
-        dk_scratch[...] += jax.lax.dot_general(
+            preferred_element_type=jnp.float32)              # [H, bk, d]
+        dk += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-
-    @pl.when(slot == pl.num_programs(2) - 1)
-    def _store():
-        dk_ref[0] = dk_scratch[...].astype(dk_ref.dtype)
-        dv_ref[0] = dv_scratch[...].astype(dv_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
 def _dkv_cls_kernel(
@@ -333,10 +297,9 @@ def _dkv_cls_kernel(
         dv_scratch[...] = jnp.zeros_like(dv_scratch)
 
     q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
-    mask = _block_masks(qb, 0, (q.shape[0], q.shape[1], k.shape[1]),
-                        lengths_ref, bi, block_size, causal)
-    p, ds = _recompute_p_ds(q, k, v, do, lse_ref[0], delta_ref[0],
-                            mask, sm_scale)
+    mask = _tile_mask(qb, 0, True, (q.shape[1], k.shape[1]),
+                      lengths_ref[bi], block_size, causal)
+    p, ds = _p_and_ds(q, k, v, do, lse_ref[0], delta_ref[0], mask, sm_scale)
     dv_scratch[...] += jax.lax.dot_general(
         p.astype(do.dtype), do, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
@@ -367,48 +330,59 @@ def _bwd_pallas(q, k, v, lengths, lse, o, do, *, window_size: int,
                     axis=-1)                                   # [B, H, L]
 
     qspec = pl.BlockSpec((1, h, block_size, d),
-                         lambda bi, qb, slot, lens: (bi, 0, qb, 0))
+                         lambda bi, qb, lens: (bi, 0, qb, 0))
     rowspec = pl.BlockSpec((1, h, block_size),
-                           lambda bi, qb, slot, lens: (bi, 0, qb))
+                           lambda bi, qb, lens: (bi, 0, qb))
 
-    def k_index(bi, qb, slot, lens):
-        kb, _ = _slot_to_block(qb, slot, window_size, nb, causal,
-                               include_cls)
-        return (bi, 0, kb, 0)
+    def k_index(slot):
+        def index(bi, qb, lens):
+            kb, _ = _slot_to_block(qb, slot, window_size, nb, causal,
+                                   include_cls)
+            return (bi, 0, kb, 0)
+        return index
 
-    kspec = pl.BlockSpec((1, h, block_size, d), k_index)
+    kspecs = [pl.BlockSpec((1, h, block_size, d), k_index(s))
+              for s in range(slots)]
 
     dq = pl.pallas_call(
         functools.partial(
             _dq_kernel, window_size=window_size, block_size=block_size,
             num_k_blocks=nb, causal=causal, include_cls=include_cls,
-            sm_scale=sm_scale),
+            sm_scale=sm_scale, slots=slots),
         out_shape=jax.ShapeDtypeStruct((b, h, L, d), q.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b, nb, slots),
-            in_specs=[qspec, kspec, kspec, qspec, rowspec, rowspec],
+            grid=(b, nb),
+            in_specs=[qspec, qspec, rowspec, rowspec] + kspecs + kspecs,
             out_specs=pl.BlockSpec(
                 (1, h, block_size, d),
-                lambda bi, qb, slot, lens: (bi, 0, qb, 0)),
-            scratch_shapes=[pltpu.VMEM((h, block_size, d), jnp.float32)],
+                lambda bi, qb, lens: (bi, 0, qb, 0)),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
-    )(lengths, q, k, v, do, lse, delta)
+    )(lengths, q, do, lse, delta, *([k] * slots), *([v] * slots))
 
     # Band part of dk/dv: walk each key block's attending query blocks.
-    def q_index(bi, kb, slot, lens):
-        qb, _ = _band_q_for_k(kb, slot, window_size, nb, causal)
-        return (bi, 0, qb, 0)
+    def q_index(slot):
+        def index(bi, kb, lens):
+            qb, _ = _band_q_for_k(kb, slot, window_size, nb, causal)
+            return (bi, 0, qb, 0)
+        return index
 
-    def qrow_index(bi, kb, slot, lens):
-        qb, _ = _band_q_for_k(kb, slot, window_size, nb, causal)
-        return (bi, 0, qb)
+    def qrow_index(slot):
+        def index(bi, kb, lens):
+            qb, _ = _band_q_for_k(kb, slot, window_size, nb, causal)
+            return (bi, 0, qb)
+        return index
 
     kself = pl.BlockSpec((1, h, block_size, d),
-                         lambda bi, kb, slot, lens: (bi, 0, kb, 0))
+                         lambda bi, kb, lens: (bi, 0, kb, 0))
+    w = window_size
+    qspecs = [pl.BlockSpec((1, h, block_size, d), q_index(s))
+              for s in range(w)]
+    qrows = [pl.BlockSpec((1, h, block_size), qrow_index(s))
+             for s in range(w)]
     dk, dv = pl.pallas_call(
         functools.partial(
             _dkv_band_kernel, window_size=window_size,
@@ -418,27 +392,19 @@ def _bwd_pallas(q, k, v, lengths, lse, o, do, *, window_size: int,
                    jax.ShapeDtypeStruct((b, h, L, d), v.dtype)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b, nb, window_size),
-            in_specs=[
-                pl.BlockSpec((1, h, block_size, d), q_index),
-                kself, kself,
-                pl.BlockSpec((1, h, block_size, d), q_index),
-                pl.BlockSpec((1, h, block_size), qrow_index),
-                pl.BlockSpec((1, h, block_size), qrow_index),
-            ],
+            grid=(b, nb),
+            in_specs=[kself, kself] + qspecs + qspecs + qrows + qrows,
             out_specs=(
                 pl.BlockSpec((1, h, block_size, d),
-                             lambda bi, kb, slot, lens: (bi, 0, kb, 0)),
+                             lambda bi, kb, lens: (bi, 0, kb, 0)),
                 pl.BlockSpec((1, h, block_size, d),
-                             lambda bi, kb, slot, lens: (bi, 0, kb, 0)),
+                             lambda bi, kb, lens: (bi, 0, kb, 0)),
             ),
-            scratch_shapes=[pltpu.VMEM((h, block_size, d), jnp.float32),
-                            pltpu.VMEM((h, block_size, d), jnp.float32)],
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
-    )(lengths, q, k, v, do, lse, delta)
+    )(lengths, k, v, *([q] * w), *([do] * w), *([lse] * w), *([delta] * w))
 
     # CLS column: query blocks beyond band(0) also hit key block 0.
     left = _band_left(window_size, causal)

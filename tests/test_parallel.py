@@ -117,3 +117,52 @@ class TestTensorParallel:
         out = jax.jit(lambda x, w: x @ w)(x_sh, w_sh)
         np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestTrainerWithMesh:
+    def test_fit_on_8_device_mesh(self, tmp_path, tmp_path_factory):
+        """End-to-end Trainer.fit over the virtual 8-device mesh: batch rows
+        sharded on 'data', params replicated, XLA inserts the grad psum."""
+        import os
+
+        from sparse_vae_tpu.data.text_data_module import (
+            TextDataModule, TextDataModuleHparams)
+        from sparse_vae_tpu.models.transformer_vae import (
+            TransformerVAE, TransformerVAEHparams)
+        from sparse_vae_tpu.models.vae import VAEObjective
+        from sparse_vae_tpu.parallel.mesh import create_mesh
+        from sparse_vae_tpu.training.trainer import Trainer
+        from sparse_vae_tpu.utils.config import TrainerHparams
+
+        cwd = os.getcwd()
+        os.chdir(tmp_path_factory.mktemp("meshwork"))
+        try:
+            dm = TextDataModule(TextDataModuleHparams(
+                dataset_name="synthetic", synthetic_docs=48, vocab_size=512,
+                tokens_per_batch=1024, min_tokens_per_sample=4,
+                max_tokens_per_sample=250, pad_to_multiple_of=128,
+                test_size=8))
+            dm.prepare_data()
+        finally:
+            os.chdir(cwd)
+
+        hp = TransformerVAEHparams(
+            d_model=32, num_heads=4, num_layers=2, latent_depth=8,
+            vocab_size=512, num_encoder_latents=4,
+            sparse_self_attention=False, use_pallas_kernel=False,
+            lr=1e-2, lr_decay_steps=10_000, base_batch_size=2048)
+        model = TransformerVAE(hp)
+        obj = VAEObjective(hp)
+        thp = TrainerHparams(accumulate_grad_batches=1, max_steps=4,
+                             val_check_interval=100.0,
+                             checkpoint_every_n_steps=10 ** 9,
+                             sample_every_n_steps=10 ** 9)
+        mesh = create_mesh(num_devices=8)
+        trainer = Trainer(model, hp, obj, dm, thp,
+                          experiment="transformer-vae", name="mesh1",
+                          log_root=tmp_path, enable_logging=False,
+                          mesh=mesh)
+        outcome = trainer.fit(max_epochs=100)
+        assert outcome.step == 4
+        leaves = jax.tree_util.tree_leaves(outcome.params)
+        assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
