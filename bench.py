@@ -20,6 +20,69 @@ import sys
 import time
 
 
+def bench_generate(args):
+    """Full-document generation: Jacobi fixed-point parallel decode vs the
+    token-at-a-time AR while_loop, identical sampling semantics."""
+    import jax
+    import jax.numpy as jnp
+
+    from sparse_vae_tpu.models.generation import SamplingParams
+    from sparse_vae_tpu.models.transformer_vae import (TransformerVAE,
+                                                       TransformerVAEHparams)
+
+    if args.smoke:
+        b, L = 4, 128
+        hp = TransformerVAEHparams(
+            d_model=64, num_heads=4, num_layers=2, latent_depth=8,
+            vocab_size=1024, num_encoder_latents=8,
+            sparse_self_attention=False, use_pallas_kernel=False)
+    else:
+        b, L = 64, 512
+        hp = TransformerVAEHparams(
+            d_model=512, num_heads=8, num_layers=6, latent_depth=64,
+            vocab_size=2 ** 15, num_encoder_latents=64,
+            sparse_self_attention=False, use_pallas_kernel=False,
+            precision="bf16")
+
+    model = TransformerVAE(hp)
+    rng = jax.random.PRNGKey(0)
+    params = model.init({"params": rng, "sample": rng},
+                        jnp.ones((1, 64), jnp.int32))["params"]
+    z = jax.random.normal(rng, (b, 1, hp.latent_depth))
+    sampling = SamplingParams()  # reference defaults: top-p 0.9, rep 1.2
+
+    @jax.jit
+    def ar(params, rng):
+        return model.apply({"params": params}, rng, L, b, z, sampling,
+                           method=model.sample)
+
+    @jax.jit
+    def jacobi(params, rng):
+        return model.apply({"params": params}, rng, L, b, z, sampling,
+                           chunk_size=min(2048, L),
+                           method=model.parallel_generate)
+
+    def timed(fn):
+        fn(params, jax.random.PRNGKey(1))  # compile
+        t0 = time.time()
+        out = fn(params, jax.random.PRNGKey(2))
+        jax.device_get(out)
+        return time.time() - t0, out
+
+    t_ar, _ = timed(ar)
+    t_j, (_, iters) = timed(jacobi)
+    result = {
+        "metric": "jacobi_vs_ar_generation_speedup",
+        "value": round(t_ar / t_j, 3),
+        "unit": "x wall-clock",
+        "vs_baseline": round(t_ar / t_j, 3),
+    }
+    print(json.dumps(result))
+    print(f"# ar={t_ar:.2f}s jacobi={t_j:.2f}s iters={int(iters)}/{L} "
+          f"batch=({b},{L}) backend={jax.default_backend()}",
+          file=sys.stderr)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true")
@@ -31,12 +94,19 @@ def main():
                              "/tmp/svt-profile")
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--seq", type=int, default=12800)
+    parser.add_argument("--mode", choices=["train", "generate"],
+                        default="train",
+                        help="generate: Jacobi parallel decode vs the AR "
+                             "while_loop, wall-clock on device")
     args = parser.parse_args()
 
     import jax
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/svt-jax-cache")
+
+    if args.mode == "generate":
+        return bench_generate(args)
 
     import jax.numpy as jnp
     import optax

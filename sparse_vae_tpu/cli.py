@@ -113,9 +113,14 @@ def seed_everything(seed: int = 7295):
 
 def apply_platform_env():
     """Honor JAX_PLATFORMS even when a plugin (e.g. the axon TPU tunnel)
-    registers itself as the default backend regardless of the env var."""
+    registers itself as the default backend regardless of the env var, and
+    enable the persistent compilation cache (bucketed batch shapes each
+    trigger one compile; the cache makes every later run/resume instant)."""
     import os
+    import jax
     platforms = os.environ.get("JAX_PLATFORMS")
     if platforms:
-        import jax
         jax.config.update("jax_platforms", platforms)
+    cache_dir = os.environ.get("SVT_COMPILE_CACHE", "/tmp/svt-jax-cache")
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
