@@ -43,9 +43,18 @@ def main(args):
                                      end_token=SEP_ID)
 
     print("Saving to disk...")
+    # Decode to text like the reference (sample.py:19-22); the tokenizer is
+    # resolved from the run's recorded data hparams.
+    from sparse_vae_tpu.cli import assemble_config, build_data
+    cfg = assemble_config(experiment, [])
+    cfg.data = type(cfg.data)(**meta.get("data_hparams", {}))
+    tokenizer = build_data(cfg).tokenizer
+    texts = tokenizer.decode_batch(
+        [[int(t) for t in o if t != 0] for o in outputs])
+
     from datasets import Dataset
     dataset_path = Path.cwd() / "sparse-vae-datasets" / "samples" / name
-    dataset = Dataset.from_dict({"text": [o.tolist() for o in outputs]})
+    dataset = Dataset.from_dict({"text": texts})
     test_size = min(50_000, max(1, len(outputs) // 10))
     dataset = dataset.train_test_split(test_size=test_size)
     dataset.save_to_disk(str(dataset_path))

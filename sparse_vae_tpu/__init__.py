@@ -52,10 +52,7 @@ def build_model(experiment: str, model_hparams_overrides=None):
     if model_hparams_overrides:
         hparams = merge_into_dataclass(hparams, model_hparams_overrides)
     module = model_cls(hparams)
-    if objective_cls is VAEObjective:
-        objective = VAEObjective(hparams)
-    else:
-        objective = objective_cls()
+    objective = objective_cls(hparams)
     return module, hparams, objective
 
 

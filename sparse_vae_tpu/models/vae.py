@@ -125,16 +125,25 @@ class VAEObjective:
 
     def eval_stats(self, module, params, batch, rng) -> Dict[str, jax.Array]:
         sample_rng, _ = jax.random.split(rng)
-        logits, raw_kl, posterior, z = module.apply(
-            {"params": params}, batch["token_ids"],
-            rngs={"sample": sample_rng})
-        nll, mask = token_nll(logits[:, :-1], batch["token_ids"][:, 1:],
-                              reduce=False)
+        rngs = {"sample": sample_rng}
+        if getattr(self.hp, "loss_chunk_size", 0) and hasattr(
+                type(module), "forward_chunked_nll"):
+            # Long-document path for validation too: full [B, L, V] logits
+            # would not fit at 100k-token eval batches.
+            nll_sum, token_count, raw_kl, _, _ = module.apply(
+                {"params": params}, batch["token_ids"], rngs=rngs,
+                method=type(module).forward_chunked_nll)
+        else:
+            logits, raw_kl, posterior, z = module.apply(
+                {"params": params}, batch["token_ids"], rngs=rngs)
+            nll, mask = token_nll(logits[:, :-1], batch["token_ids"][:, 1:],
+                                  reduce=False)
+            nll_sum, token_count = jnp.sum(nll), jnp.sum(mask)
         kl, _ = normalized_kl(raw_kl, batch["num_tokens"])
         real_rows = jnp.sum(batch["num_tokens"] > 0)
         return {
-            "nll_sum": jnp.sum(nll),
-            "token_count": jnp.sum(mask),
+            "nll_sum": nll_sum,
+            "token_count": token_count,
             "byte_count": jnp.sum(batch["num_bytes"]).astype(jnp.float32),
             "kl_weighted_rows": kl * real_rows,  # re-averaged in reduce
             "row_count": real_rows.astype(jnp.float32),

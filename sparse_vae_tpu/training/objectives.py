@@ -12,7 +12,7 @@ from typing import Any, Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.cross_entropy import token_nll
+from ..ops.cross_entropy import chunked_cross_entropy, token_nll
 
 
 def batch_arrays(batch) -> Dict[str, jax.Array]:
@@ -25,24 +25,58 @@ def batch_arrays(batch) -> Dict[str, jax.Array]:
 
 
 class ARObjective:
-    """Plain language-model objective (LSTM-LM / Transformer-LM)."""
+    """Plain language-model objective (LSTM-LM / Transformer-LM).
+
+    When the model exposes forward_hidden/project and loss_chunk_size is
+    set, the projection+CE runs fused over sequence chunks so [B, L, V]
+    logits never materialize (the long-document path, both train and eval).
+    """
+
+    def __init__(self, hparams=None):
+        self.hp = hparams
+
+    def _chunked(self, module):
+        return (getattr(self.hp, "loss_chunk_size", 0)
+                and hasattr(type(module), "forward_hidden"))
+
+    def _chunked_stats(self, module, params, batch, rng=None):
+        rngs = {"dropout": rng} if rng is not None else {}
+        hidden = module.apply({"params": params}, batch["token_ids"],
+                              rngs=rngs, deterministic=rng is None,
+                              method=type(module).forward_hidden)
+
+        def project(h):
+            return module.apply({"params": params}, h,
+                                method=type(module).project)
+
+        return chunked_cross_entropy(hidden[:, :-1], project,
+                                     batch["token_ids"][:, 1:],
+                                     self.hp.loss_chunk_size)
 
     def loss(self, module, params, batch, step, rng
              ) -> Tuple[jax.Array, Dict[str, Any]]:
-        logits = module.apply({"params": params}, batch["token_ids"],
-                              rngs={"dropout": rng})
-        nll = token_nll(logits[:, :-1], batch["token_ids"][:, 1:])
+        if self._chunked(module):
+            nll_sum, count = self._chunked_stats(module, params, batch, rng)
+            nll = nll_sum / jnp.maximum(count, 1.0)
+        else:
+            logits = module.apply({"params": params}, batch["token_ids"],
+                                  rngs={"dropout": rng})
+            nll = token_nll(logits[:, :-1], batch["token_ids"][:, 1:])
         return nll, {"train_nll": nll}
 
     def eval_stats(self, module, params, batch, rng) -> Dict[str, jax.Array]:
-        logits = module.apply({"params": params}, batch["token_ids"])
-        nll, mask = token_nll(logits[:, :-1], batch["token_ids"][:, 1:],
-                              reduce=False)
+        if self._chunked(module):
+            nll_sum, token_count = self._chunked_stats(module, params, batch)
+        else:
+            logits = module.apply({"params": params}, batch["token_ids"])
+            nll, mask = token_nll(logits[:, :-1],
+                                  batch["token_ids"][:, 1:], reduce=False)
+            nll_sum, token_count = jnp.sum(nll), jnp.sum(mask)
         return {
-            "nll_sum": jnp.sum(nll),
-            "token_count": jnp.sum(mask),
+            "nll_sum": nll_sum,
+            "token_count": token_count,
             "byte_count": jnp.sum(batch["num_bytes"]).astype(jnp.float32),
-            "loss_sum": jnp.sum(nll),
+            "loss_sum": nll_sum,
         }
 
     @staticmethod

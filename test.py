@@ -32,7 +32,8 @@ def main(args):
         experiment, name)
     params = state["params"]
 
-    data_dot = [f"data.{k}={v}" for k, v in extra.items()]
+    data_dot = [f"data.{k.removeprefix('data.')}={v}"
+                for k, v in extra.items()]
     cfg = assemble_config(experiment, data_dot)
     cfg.data = type(cfg.data)(**meta.get("data_hparams", {})) \
         if not data_dot else cfg.data

@@ -269,3 +269,46 @@ class TestGenericTransformer:
         assert logits.shape == (2, 12, 64)
         # Tied head: no separate output-embedding parameter collection
         assert "output_embedding" not in params["params"]
+
+
+class TestChunkedEval:
+    def test_ar_chunked_eval_matches_dense(self, rng):
+        """ARObjective's fused-chunked eval must equal the dense-logits path
+        exactly (same math, different materialization)."""
+        hp = lm_hparams(loss_chunk_size=8)
+        model = TransformerLanguageModel(hp)
+        tokens = jnp.concatenate(
+            [jnp.ones((2, 1), jnp.int32),
+             jax.random.randint(rng, (2, 31), 3, 512)], axis=1)
+        params = model.init(rng, tokens)["params"]
+        batch = {"token_ids": tokens,
+                 "num_tokens": jnp.full((2,), 32, jnp.int32),
+                 "num_bytes": jnp.full((2,), 128, jnp.int32)}
+        chunked = ARObjective(hp)
+        dense = ARObjective(lm_hparams(loss_chunk_size=0))
+        a = chunked.eval_stats(model, params, batch, rng)
+        b = dense.eval_stats(model, params, batch, rng)
+        np.testing.assert_allclose(float(a["nll_sum"]), float(b["nll_sum"]),
+                                   rtol=1e-4)
+        assert float(a["token_count"]) == float(b["token_count"])
+        la, _ = chunked.loss(model, params, batch, 0, rng)
+        lb, _ = dense.loss(model, params, batch, 0, rng)
+        np.testing.assert_allclose(float(la), float(lb), rtol=1e-4)
+
+    def test_vae_chunked_eval_matches_dense(self, rng):
+        hp = vae_hparams(loss_chunk_size=8)
+        model = TransformerVAE(hp)
+        tokens = jnp.concatenate(
+            [jnp.ones((2, 1), jnp.int32),
+             jax.random.randint(rng, (2, 31), 3, 512)], axis=1)
+        params = model.init({"params": rng, "sample": rng},
+                            tokens)["params"]
+        batch = {"token_ids": tokens,
+                 "num_tokens": jnp.full((2,), 32, jnp.int32),
+                 "num_bytes": jnp.full((2,), 128, jnp.int32)}
+        a = VAEObjective(hp).eval_stats(model, params, batch, rng)
+        b = VAEObjective(vae_hparams(loss_chunk_size=0)).eval_stats(
+            model, params, batch, rng)
+        np.testing.assert_allclose(float(a["nll_sum"]), float(b["nll_sum"]),
+                                   rtol=1e-5)
+        assert float(a["token_count"]) == float(b["token_count"])
