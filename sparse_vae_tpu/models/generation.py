@@ -65,6 +65,35 @@ def apply_repetition_penalty(logits, tokens, index, penalty: float,
                               inplace=False)
 
 
+def top_p_filter(logits, top_p: float, num_iters: int = 24):
+    """Nucleus filtering without a full-vocab sort.
+
+    An O(V·log(1/ε)) threshold bisection replaces the reference's
+    sort+cumsum (generation.py:55-63): find the largest probability
+    threshold t whose kept mass Σ p·[p ≥ t] still reaches `top_p`, then mask
+    everything below t (the most probable token always survives). A 32k-way
+    sort per row is the dominant cost of sampling on TPU; ~24 masked
+    reductions are an order of magnitude cheaper and vectorize over any
+    number of rows.
+    """
+    probs = jax.nn.softmax(logits, axis=-1)
+    pmax = jnp.max(probs, axis=-1, keepdims=True)
+    lo = jnp.zeros_like(pmax)
+
+    def body(_, bounds):
+        lo, hi = bounds
+        mid = (lo + hi) * 0.5
+        mass = jnp.sum(jnp.where(probs >= mid, probs, 0.0), axis=-1,
+                       keepdims=True)
+        keep_raising = mass >= top_p
+        return (jnp.where(keep_raising, mid, lo),
+                jnp.where(keep_raising, hi, mid))
+
+    lo, _ = jax.lax.fori_loop(0, num_iters, body, (lo, pmax))
+    keep = (probs >= lo) | (probs == pmax)  # always keep the argmax
+    return jnp.where(keep, logits, -jnp.inf)
+
+
 def process_logits(logits, state: DecodeState, params: SamplingParams,
                    end_token: int) -> DecodeState:
     """One decode step: penalize/filter/sample, write the token, advance.
@@ -91,21 +120,9 @@ def process_logits(logits, state: DecodeState, params: SamplingParams,
             logits = jnp.where(logits < kth, -jnp.inf, logits)
 
         if params.top_p < 1.0:
-            sort_idx = jnp.argsort(-logits, axis=-1)
-            sorted_logits = jnp.take_along_axis(logits, sort_idx, axis=-1)
-            probs = jax.nn.softmax(sorted_logits, axis=-1)
-            cum = jnp.cumsum(probs, axis=-1)
-            # Remove tokens once cumulative mass exceeds p, but never the
-            # most probable token (generation.py:60-63).
-            remove = cum > params.top_p
-            remove = remove.at[..., 0].set(False)
-            sorted_logits = jnp.where(remove, -jnp.inf, sorted_logits)
-            choice = jax.random.categorical(sample_rng, sorted_logits, axis=-1)
-            token = jnp.take_along_axis(sort_idx, choice[..., None],
-                                        axis=-1)[..., 0].astype(jnp.int32)
-        else:
-            token = jax.random.categorical(sample_rng, logits,
-                                           axis=-1).astype(jnp.int32)
+            logits = top_p_filter(logits, params.top_p)
+        token = jax.random.categorical(sample_rng, logits,
+                                       axis=-1).astype(jnp.int32)
 
     # Finished samples write [PAD] (the reference wrote nothing; pos stays 0)
     token = jnp.where(state.live, token, 0)

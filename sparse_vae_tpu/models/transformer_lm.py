@@ -156,11 +156,13 @@ class TransformerLanguageModel(nn.Module):
                           sampling: SamplingParams = SamplingParams(),
                           start_token: int = 1, end_token: int = 2,
                           max_iters: Optional[int] = None,
-                          chunk_size: int = 2048):
+                          chunk_size: int = 2048, init_tokens=None):
         """Non-AR full-document generation: Jacobi fixed-point iteration on
         the teacher-forcing forward (models/parallel_decode.py). Every
         iteration is one parallel device pass; converges to the exact AR
-        sample. Returns (tokens [B, length-1] sans start token, iters)."""
+        sample. Returns (tokens [B, length-1] sans start token, iters).
+        init_tokens ([B, length], incl. start token) resumes a previous
+        partially-converged iterate."""
         from .parallel_decode import jacobi_decode
 
         def hidden_fn(tokens):
@@ -168,5 +170,5 @@ class TransformerLanguageModel(nn.Module):
 
         tokens, iters = jacobi_decode(
             hidden_fn, self.project, batch_size, length, rng, sampling,
-            start_token, end_token, max_iters, chunk_size)
+            start_token, end_token, max_iters, chunk_size, init_tokens)
         return tokens[:, 1:], iters

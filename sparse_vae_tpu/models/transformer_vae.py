@@ -142,11 +142,13 @@ class TransformerVAE(TransformerLanguageModel):
                           z=None, sampling: SamplingParams = SamplingParams(),
                           start_token: int = 1, end_token: int = 2,
                           max_iters: Optional[int] = None,
-                          chunk_size: int = 2048):
+                          chunk_size: int = 2048, init_tokens=None):
         """The north-star generation mode: full-document non-AR decoding
         from z in a handful of parallel device passes (Jacobi fixed-point on
         the z-injected decoder; models/parallel_decode.py). The AR `sample`
-        is the one-token-per-iteration special case of this map."""
+        is the one-token-per-iteration special case of this map.
+        init_tokens ([B, length], incl. start token) resumes a previous
+        partially-converged iterate."""
         from .parallel_decode import jacobi_decode
 
         z_rng, d_rng = jax.random.split(rng)
@@ -159,5 +161,5 @@ class TransformerVAE(TransformerLanguageModel):
 
         tokens, iters = jacobi_decode(
             hidden_fn, self.project, batch_size, length, d_rng, sampling,
-            start_token, end_token, max_iters, chunk_size)
+            start_token, end_token, max_iters, chunk_size, init_tokens)
         return tokens[:, 1:], iters

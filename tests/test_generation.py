@@ -122,3 +122,33 @@ class TestDecodeLoop:
 
         tokens = np.asarray(run(rng))
         np.testing.assert_array_equal(tokens[0, :5], [1, 4, 4, END, 0])
+
+
+class TestTopPBisection:
+    def test_matches_sort_based_nucleus(self, rng):
+        """The bisection filter must keep the same token set as the
+        sort+cumsum definition (modulo exact-boundary ties)."""
+        from sparse_vae_tpu.models.generation import top_p_filter
+        logits = jax.random.normal(rng, (64, 333)) * 3.0
+        for p in (0.5, 0.9, 0.99):
+            got = np.asarray(top_p_filter(logits, p)) > -np.inf
+            probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+            order = np.argsort(-probs, axis=-1)
+            for r in range(probs.shape[0]):
+                sorted_p = probs[r, order[r]]
+                cum = np.cumsum(sorted_p)
+                k = int(np.searchsorted(cum, p)) + 1  # minimal set size
+                expect = np.zeros(probs.shape[1], bool)
+                expect[order[r, :k]] = True
+                # Allow the boundary token to differ (bisection keeps the
+                # mass->=p set; ties at the threshold may add a token)
+                diff = got[r] ^ expect
+                assert diff.sum() <= 1, (r, p, diff.sum())
+
+    def test_always_keeps_argmax(self, rng):
+        from sparse_vae_tpu.models.generation import top_p_filter
+        logits = jax.random.normal(rng, (8, 100))
+        out = np.asarray(top_p_filter(logits, 0.01))
+        arg = np.asarray(jnp.argmax(logits, -1))
+        for r in range(8):
+            assert np.isfinite(out[r, arg[r]])
