@@ -103,13 +103,49 @@ class TransformerLanguageModel(nn.Module):
             x = self.embedding_projection(x)
         return self.input_dropout_layer(x, deterministic=deterministic)
 
-    def project(self, h):
+    def pre_logits(self, h):
+        """The head before the vocab projection: Dense -> GELU -> LN."""
+        return self.head_norm(nn.gelu(self.head_dense(h)))
+
+    def project(self, h, logits_dtype=None):
         """Pre-logits head + output projection; [B, ..., D] -> [..., V]."""
-        h = self.head_norm(nn.gelu(self.head_dense(h)))
+        h = self.pre_logits(h)
         if self.tie_output:
             table = self.input_embedding.embedding.astype(self.dtype)
-            return h @ table.T + self.output_bias
-        return self.output_embedding(h)
+            logits = jax.lax.dot_general(
+                h, table, (((h.ndim - 1,), (1,)), ((), ())),
+                preferred_element_type=logits_dtype or self.dtype)
+            return logits + self.output_bias
+        out = self.output_embedding(h)
+        return out.astype(logits_dtype) if logits_dtype else out
+
+    def sequence_nll(self, hidden, labels):
+        """(nll_sum, token_count) over non-pad labels, without ever
+        materializing [B, L, V] logits in HBM: the fused Pallas
+        projection+CE kernel on TPU (ops/pallas_ce.py), the chunked-scan
+        XLA fusion elsewhere (ops/cross_entropy.py) — the TPU answer to the
+        reference's robust_cross_entropy (language_model.py:161-170).
+
+        hidden: [B, L', D] decoder states; labels: [B, L'] (0 = pad).
+        """
+        hp = self.hparams
+        use_fused = (self.tie_output and hp.use_pallas_kernel
+                     and jax.default_backend() == "tpu"
+                     and hp.vocab_size % 1024 == 0)
+        if use_fused:
+            from ..ops.pallas_ce import fused_tied_cross_entropy
+            g = self.pre_logits(hidden)
+            b, lp, d = g.shape
+            table = self.input_embedding.embedding.astype(self.dtype)
+            nll = fused_tied_cross_entropy(
+                g.reshape(b * lp, d), table,
+                self.output_bias.astype(jnp.float32),
+                labels.reshape(b * lp))
+            mask = (labels.reshape(-1) != 0).astype(jnp.float32)
+            return jnp.sum(nll * mask), jnp.sum(mask)
+        from ..ops.cross_entropy import chunked_cross_entropy
+        return chunked_cross_entropy(hidden, self.project, labels,
+                                     hp.loss_chunk_size or 2048)
 
     def forward_hidden(self, token_ids, deterministic: bool = True):
         """Decoder stack output before the logits head — the chunked-CE

@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.cross_entropy import chunked_cross_entropy
 from .base import dense_kernel_init
 from .conditional_gaussian import ConditionalGaussian
 from .generation import (DecodeState, SamplingParams, decode_loop,
@@ -99,9 +98,7 @@ class TransformerVAE(TransformerLanguageModel):
                                deterministic=deterministic)
         z = q.sample(self.make_rng("sample"))
         h = self.reconstruct_hidden(token_ids, z, deterministic)
-        chunk = self.hparams.loss_chunk_size or 2048
-        nll_sum, count = chunked_cross_entropy(
-            h[:, :-1], self.project, token_ids[:, 1:], chunk)
+        nll_sum, count = self.sequence_nll(h[:, :-1], token_ids[:, 1:])
         return nll_sum, count, kl, q, z
 
     # -- sampling -----------------------------------------------------------

@@ -66,6 +66,9 @@ def chunked_cross_entropy(
     # chunks are saved and logits are recomputed in the backward pass.
     @jax.checkpoint
     def chunk_loss(h, y):
+        # Projection stays in model dtype (bf16 matmul output halves the
+        # HBM write vs emitting fp32 from the MXU — measured faster); the
+        # fp32 convert fuses into the consuming reduces.
         logits = project_fn(h).astype(jnp.float32)
         # nll = logsumexp - label logit, WITHOUT materializing the full
         # [B, C, V] log-softmax (a second multi-GB fp32 tensor per chunk):

@@ -12,7 +12,7 @@ from typing import Any, Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.cross_entropy import chunked_cross_entropy, token_nll
+from ..ops.cross_entropy import token_nll
 
 
 def batch_arrays(batch) -> Dict[str, jax.Array]:
@@ -44,14 +44,9 @@ class ARObjective:
         hidden = module.apply({"params": params}, batch["token_ids"],
                               rngs=rngs, deterministic=rng is None,
                               method=type(module).forward_hidden)
-
-        def project(h):
-            return module.apply({"params": params}, h,
-                                method=type(module).project)
-
-        return chunked_cross_entropy(hidden[:, :-1], project,
-                                     batch["token_ids"][:, 1:],
-                                     self.hp.loss_chunk_size)
+        return module.apply({"params": params}, hidden[:, :-1],
+                            batch["token_ids"][:, 1:],
+                            method=type(module).sequence_nll)
 
     def loss(self, module, params, batch, step, rng
              ) -> Tuple[jax.Array, Dict[str, Any]]:
