@@ -42,6 +42,13 @@ class TransformerHparams(LanguageModelHparams):
     loss_chunk_size: int = 0            # >0: chunked fused projection+CE
     use_pallas_kernel: bool = True
     precision: str = "fp32"             # 'bf16' for TPU training
+    # Rematerialization policy under grad_checkpointing — the TPU-native
+    # realization of the reference's broken activation-offload intent
+    # (core/__init__.py:1 imports a nonexistent .activation_offload;
+    # SURVEY §2.9): 'full' recomputes everything, 'dots' saves matmul
+    # outputs (recompute only elementwise), 'offload' checkpoints dot
+    # outputs to host memory instead of recomputing.
+    remat_policy: str = "full"          # 'full' | 'dots' | 'offload'
 
 
 class TransformerLanguageModel(nn.Module):
@@ -66,9 +73,16 @@ class TransformerLanguageModel(nn.Module):
 
         layer_cls = TransformerLayer
         if hp.grad_checkpointing:
+            policies = {
+                "full": None,  # recompute everything (jax default)
+                "dots": jax.checkpoint_policies.dots_saveable,
+                "offload": jax.checkpoint_policies.offload_dot_with_no_batch_dims(
+                    "device", "pinned_host"),
+            }
             layer_cls = nn.remat(TransformerLayer,
-                                 static_argnums=(5,))  # deterministic flag
+                                 static_argnums=(5,),  # deterministic flag
                                  # (self is arg 0 in flax remat numbering)
+                                 policy=policies[hp.remat_policy])
         self.decoder_layers = [
             layer_cls(d_model=hp.d_model, num_heads=hp.num_heads,
                       causal=True,
@@ -134,12 +148,14 @@ class TransformerLanguageModel(nn.Module):
                      and hp.vocab_size % 1024 == 0)
         if use_fused:
             from ..ops.pallas_ce import fused_tied_cross_entropy
-            g = self.pre_logits(hidden)
-            b, lp, d = g.shape
+            b, lp, d = hidden.shape
+            # Flatten before the head: keeps every tensor on this path 2-D
+            # so XLA doesn't insert layout-conversion copies of the [B,L,D]
+            # cotangents between the head fusions and the kernel.
+            g = self.pre_logits(hidden.reshape(b * lp, d))
             table = self.input_embedding.embedding.astype(self.dtype)
             nll = fused_tied_cross_entropy(
-                g.reshape(b * lp, d), table,
-                self.output_bias.astype(jnp.float32),
+                g, table, self.output_bias.astype(jnp.float32),
                 labels.reshape(b * lp))
             mask = (labels.reshape(-1) != 0).astype(jnp.float32)
             return jnp.sum(nll * mask), jnp.sum(mask)

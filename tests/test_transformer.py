@@ -312,3 +312,32 @@ class TestChunkedEval:
         np.testing.assert_allclose(float(a["nll_sum"]), float(b["nll_sum"]),
                                    rtol=1e-5)
         assert float(a["token_count"]) == float(b["token_count"])
+
+
+class TestRematPolicies:
+    @pytest.mark.parametrize("policy", ["full", "dots", "offload"])
+    def test_grads_match_across_policies(self, rng, policy):
+        """Remat policy changes memory/compute trade, never values."""
+        def grads_for(p):
+            hp = lm_hparams(grad_checkpointing=True, remat_policy=p,
+                            loss_chunk_size=8)
+            model = TransformerLanguageModel(hp)
+            tokens = jnp.concatenate(
+                [jnp.ones((2, 1), jnp.int32),
+                 jax.random.randint(rng, (2, 15), 3, 512)], axis=1)
+            params = model.init(rng, tokens)["params"]
+            obj = ARObjective(hp)
+            batch = {"token_ids": tokens,
+                     "num_tokens": jnp.full((2,), 16, jnp.int32),
+                     "num_bytes": jnp.full((2,), 64, jnp.int32)}
+
+            def loss(p_):
+                l, _ = obj.loss(model, p_, batch, 0, rng)
+                return l
+            return jax.grad(loss)(params)
+
+        base = grads_for("full")
+        got = grads_for(policy)
+        for a, b in zip(jax.tree_util.tree_leaves(base),
+                        jax.tree_util.tree_leaves(got)):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
