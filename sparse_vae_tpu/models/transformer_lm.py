@@ -71,14 +71,17 @@ class TransformerLanguageModel(nn.Module):
             if d_embedding != hp.d_model else None)
         self.input_dropout_layer = nn.Dropout(rate=hp.input_dropout)
 
+        policies = {
+            "full": None,  # recompute everything (jax default)
+            "dots": jax.checkpoint_policies.dots_saveable,
+            "offload": jax.checkpoint_policies.offload_dot_with_no_batch_dims(
+                "device", "pinned_host"),
+        }
+        if hp.remat_policy not in policies:
+            raise ValueError(f"remat_policy {hp.remat_policy!r} not in "
+                             f"{sorted(policies)}")
         layer_cls = TransformerLayer
         if hp.grad_checkpointing:
-            policies = {
-                "full": None,  # recompute everything (jax default)
-                "dots": jax.checkpoint_policies.dots_saveable,
-                "offload": jax.checkpoint_policies.offload_dot_with_no_batch_dims(
-                    "device", "pinned_host"),
-            }
             layer_cls = nn.remat(TransformerLayer,
                                  static_argnums=(5,),  # deterministic flag
                                  # (self is arg 0 in flax remat numbering)

@@ -315,7 +315,7 @@ class TestChunkedEval:
 
 
 class TestRematPolicies:
-    @pytest.mark.parametrize("policy", ["full", "dots", "offload"])
+    @pytest.mark.parametrize("policy", ["dots", "offload"])
     def test_grads_match_across_policies(self, rng, policy):
         """Remat policy changes memory/compute trade, never values."""
         def grads_for(p):
