@@ -166,3 +166,66 @@ class TestTrainerWithMesh:
         assert outcome.step == 4
         leaves = jax.tree_util.tree_leaves(outcome.params)
         assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+
+
+class TestShardMapSPMD:
+    def test_spmd_step_matches_single_device(self, mesh):
+        """The explicit shard_map data-parallel step must produce the same
+        params as the plain single-device step on the same global batch."""
+        import optax
+
+        from sparse_vae_tpu.models.transformer_vae import (
+            TransformerVAE, TransformerVAEHparams)
+        from sparse_vae_tpu.models.vae import VAEObjective
+        from sparse_vae_tpu.parallel.spmd import (shard_batch,
+                                                  sharded_train_step)
+        from sparse_vae_tpu.training.optimizer import make_optimizer
+
+        hp = TransformerVAEHparams(
+            d_model=32, num_heads=4, num_layers=2, latent_depth=8,
+            vocab_size=256, num_encoder_latents=4,
+            sparse_self_attention=False, use_pallas_kernel=False)
+        model = TransformerVAE(hp)
+        objective = VAEObjective(hp)
+        optimizer = make_optimizer(lr=1e-2, lr_decay_steps=1000,
+                                   grad_clip_threshold=5.0)
+
+        rng = jax.random.PRNGKey(0)
+        b = mesh.shape["data"] * 2
+        tokens = jax.random.randint(rng, (b, 64), 3, 256)
+        tokens = tokens.at[:, 0].set(1)
+        batch = {"token_ids": tokens,
+                 "num_tokens": jnp.full((b,), 64, jnp.int32),
+                 "num_bytes": jnp.full((b,), 256, jnp.int32)}
+        params = model.init({"params": rng, "sample": rng},
+                            tokens[:1])["params"]
+        opt_state = optimizer.init(params)
+
+        # NOTE: the per-shard loss sees only its rows; per-token-mean losses
+        # then pmean to the same value as the global mean when shards carry
+        # equal token counts (true here by construction).
+        def loss_fn(p, bt, step, r):
+            return objective.loss(model, p, bt, step, r)
+
+        step_fn = sharded_train_step(loss_fn, optimizer, mesh)
+        p1, _, loss1, _ = step_fn(params, opt_state,
+                                  shard_batch(batch, mesh),
+                                  jnp.asarray(0), rng)
+
+        # Single device reference: same batch, same rng
+        (loss0, _), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, batch, jnp.asarray(0), rng),
+            has_aux=True)(params)
+        updates, _ = optimizer.update(grads, opt_state, params)
+        p0 = optax.apply_updates(params, updates)
+
+        # The z-sample rng differs per shard vs global (each shard draws
+        # its own eps for its rows from the same key), so exact equality
+        # is not expected for the VAE loss — check the step runs, shapes
+        # match, and params moved a comparable amount.
+        d1 = sum(float(jnp.abs(a - b_).sum()) for a, b_ in zip(
+            jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p0)))
+        base = sum(float(jnp.abs(a).sum())
+                   for a in jax.tree_util.tree_leaves(params))
+        assert np.isfinite(float(loss1))
+        assert d1 / base < 0.05  # both steps moved params by ~lr-sized amounts
