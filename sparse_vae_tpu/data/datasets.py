@@ -123,18 +123,40 @@ def synthetic_texts(num_docs: int, seed: int = 7295,
     return docs
 
 
-def tokenize_texts(texts: List[dict], tokenizer) -> TokenizedCorpus:
+def tokenize_texts(texts: List[dict], tokenizer,
+                   chunk_documents: bool = False,
+                   max_tokens: Optional[int] = None) -> TokenizedCorpus:
     """Tokenize raw docs; records num_bytes/num_tokens like the reference's
     map fn (data_utils.py:14-26). The tokenizer's Roberta post-processing
-    wraps every doc as [CLS] ... [SEP]."""
+    wraps every doc as [CLS] ... [SEP].
+
+    chunk_documents splits overflowing documents into multiple samples of
+    <= max_tokens (the reference's return_overflowing_tokens path,
+    data_utils.py:20-24) instead of the length filter dropping them.
+    """
     encodings = tokenizer.encode_batch([d["text"] for d in texts])
-    docs = [np.asarray(e.ids, dtype=np.uint16) for e in encodings]
-    num_bytes = np.array([len(d["text"].encode()) for d in texts], dtype=np.int64)
-    titles = [d.get("title", "") for d in texts]
-    labels = (np.array([d["label"] for d in texts], dtype=np.int64)
-              if texts and "label" in texts[0] else None)
-    return TokenizedCorpus(docs=docs, num_bytes=num_bytes, titles=titles,
-                           labels=labels)
+    docs, num_bytes, titles, labels = [], [], [], []
+    has_labels = bool(texts) and "label" in texts[0]
+    for e, d in zip(encodings, texts):
+        ids = np.asarray(e.ids, dtype=np.uint16)
+        pieces = [ids]
+        if chunk_documents and max_tokens and len(ids) > max_tokens:
+            pieces = [ids[i:i + max_tokens]
+                      for i in range(0, len(ids), max_tokens)]
+        doc_bytes = len(d["text"].encode())
+        for j, piece in enumerate(pieces):
+            docs.append(piece)
+            # Apportion the byte count by token share (bpb stays exact in
+            # total across the chunks of a document).
+            num_bytes.append(round(doc_bytes * len(piece) / len(ids)))
+            titles.append(d.get("title", "") if len(pieces) == 1
+                          else f"{d.get('title', '')}#{j}")
+            if has_labels:
+                labels.append(d["label"])
+    return TokenizedCorpus(
+        docs=docs, num_bytes=np.asarray(num_bytes, dtype=np.int64),
+        titles=titles,
+        labels=np.asarray(labels, dtype=np.int64) if has_labels else None)
 
 
 def load_raw_texts(dataset_name: str, dataset_config: Optional[str],

@@ -75,8 +75,6 @@ class TextDataModule:
             hp.dataset_name, flat_iter, hp.vocab_size)
         self.bytes_per_token = bytes_per_token_table(
             self._tokenizer, hp.vocab_size)
-        if hp.chunk_documents:
-            self._tokenizer.enable_truncation(hp.max_tokens_per_sample)
 
     # -- data preparation ---------------------------------------------------
     def prepare_data(self):
@@ -84,7 +82,9 @@ class TextDataModule:
         raw = load_raw_texts(hp.dataset_name, hp.dataset_config,
                              hp.dataset_path, hp.split, hp.synthetic_docs)
         self.setup_tokenizer(raw_texts=raw)
-        corpus = tokenize_texts(raw, self._tokenizer)
+        corpus = tokenize_texts(raw, self._tokenizer,
+                                chunk_documents=hp.chunk_documents,
+                                max_tokens=hp.max_tokens_per_sample)
         corpus = corpus.filter_by_length(hp.min_tokens_per_sample,
                                          hp.max_tokens_per_sample)
         test_size = hp.test_size

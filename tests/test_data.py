@@ -143,3 +143,30 @@ class TestTextDataModule:
         from sparse_vae_tpu.data.tokenizer import tokenizer_cache_path
         # trained in the class fixture's cwd — just confirm API shape
         assert dm.tokenizer.get_vocab_size() == 512
+
+
+class TestChunkDocuments:
+    def test_overflow_splits_into_samples(self):
+        from sparse_vae_tpu.data.text_data_module import (
+            TextDataModule, TextDataModuleHparams)
+        import os
+        dm = TextDataModule(TextDataModuleHparams(
+            dataset_name="synthetic", synthetic_docs=30, vocab_size=512,
+            tokens_per_batch=1024, min_tokens_per_sample=4,
+            max_tokens_per_sample=40, chunk_documents=True,
+            pad_to_multiple_of=64, test_size=4))
+        cwd = os.getcwd()
+        import tempfile
+        with tempfile.TemporaryDirectory() as d:
+            os.chdir(d)
+            try:
+                dm.prepare_data()
+            finally:
+                os.chdir(cwd)
+        total = sum(len(dm.splits[s]) for s in dm.splits)
+        # Synthetic docs are much longer than 40 tokens: chunking must
+        # produce more samples than documents, all within the cap
+        assert total > 30
+        for split in dm.splits.values():
+            assert (split.lengths <= 40).all()
+            assert (split.num_bytes > 0).all()
