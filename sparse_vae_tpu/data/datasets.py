@@ -52,6 +52,33 @@ class TokenizedCorpus:
             self._arena = TokenArena.from_docs(self.docs)
         return self._arena
 
+    def save(self, path) -> None:
+        """Persist the tokenized corpus (the disk token cache the reference
+        kept under sparse-vae-datasets, text_data_module.py:112-121): one
+        contiguous uint16 arena + offsets + metadata in a single npz."""
+        from pathlib import Path
+        arena = self.ensure_arena()
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        np.savez(path,
+                 tokens=arena.tokens, offsets=arena.offsets,
+                 num_bytes=self.num_bytes,
+                 titles=np.asarray(self.titles if self.titles else [],
+                                   dtype=object),
+                 labels=(self.labels if self.labels is not None
+                         else np.array([])))
+
+    @classmethod
+    def load(cls, path) -> "TokenizedCorpus":
+        z = np.load(path, allow_pickle=True)
+        tokens, offsets = z["tokens"], z["offsets"]
+        docs = [tokens[int(offsets[i]):int(offsets[i + 1])]
+                for i in range(len(offsets) - 1)]
+        titles = [str(t) for t in z["titles"]] if z["titles"].size else None
+        labels = z["labels"] if z["labels"].size else None
+        return cls(docs=docs, num_bytes=z["num_bytes"], titles=titles,
+                   labels=labels)
+
     def filter_by_length(self, min_tokens: int, max_tokens: int) -> "TokenizedCorpus":
         keep = [i for i, L in enumerate(self.lengths)
                 if min_tokens <= L <= max_tokens]

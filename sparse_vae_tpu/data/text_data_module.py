@@ -77,14 +77,35 @@ class TextDataModule:
             self._tokenizer, hp.vocab_size)
 
     # -- data preparation ---------------------------------------------------
-    def prepare_data(self):
+    def _token_cache_path(self) -> Path:
+        """Tokenized-corpus disk cache (reference: uint16 token datasets
+        cached under sparse-vae-datasets, text_data_module.py:57,112-121),
+        keyed by every hparam that changes the tokenization result."""
         hp = self.hparams
-        raw = load_raw_texts(hp.dataset_name, hp.dataset_config,
-                             hp.dataset_path, hp.split, hp.synthetic_docs)
-        self.setup_tokenizer(raw_texts=raw)
-        corpus = tokenize_texts(raw, self._tokenizer,
-                                chunk_documents=hp.chunk_documents,
-                                max_tokens=hp.max_tokens_per_sample)
+        key = "-".join(str(x) for x in [
+            hp.dataset_name, hp.dataset_config or "", hp.split or "",
+            hp.synthetic_docs, hp.vocab_size,
+            f"chunk{hp.max_tokens_per_sample}" if hp.chunk_documents else
+            "whole"]).replace("/", "_")
+        return (Path.cwd() / "sparse-vae-datasets" / "tokenized"
+                / f"{key}.npz")
+
+    def prepare_data(self, use_cache: bool = True):
+        hp = self.hparams
+        cache = self._token_cache_path()
+        if use_cache and cache.exists():
+            self.setup_tokenizer()
+            corpus = TokenizedCorpus.load(cache)
+        else:
+            raw = load_raw_texts(hp.dataset_name, hp.dataset_config,
+                                 hp.dataset_path, hp.split,
+                                 hp.synthetic_docs)
+            self.setup_tokenizer(raw_texts=raw)
+            corpus = tokenize_texts(raw, self._tokenizer,
+                                    chunk_documents=hp.chunk_documents,
+                                    max_tokens=hp.max_tokens_per_sample)
+            if use_cache:
+                corpus.save(cache)
         corpus = corpus.filter_by_length(hp.min_tokens_per_sample,
                                          hp.max_tokens_per_sample)
         test_size = hp.test_size

@@ -31,7 +31,10 @@ def lstm_scan(x_proj, w_hh, b_hh, h0, c0):
         h = jax.nn.sigmoid(o) * jnp.tanh(c)
         return (h, c), h
 
-    (h_n, c_n), hs = jax.lax.scan(step, (h0, c0), x_proj.swapaxes(0, 1))
+    # unroll: the recurrent matmul is tiny, so loop overhead dominates on
+    # TPU; unrolling amortizes it without changing the math.
+    (h_n, c_n), hs = jax.lax.scan(step, (h0, c0), x_proj.swapaxes(0, 1),
+                                  unroll=8)
     return hs.swapaxes(0, 1), (h_n, c_n)
 
 
@@ -59,7 +62,7 @@ def gru_scan(x_proj, w_hh, b_hh, h0):
         h = (1.0 - z) * n + z * h
         return h, h
 
-    h_n, hs = jax.lax.scan(step, h0, x_proj.swapaxes(0, 1))
+    h_n, hs = jax.lax.scan(step, h0, x_proj.swapaxes(0, 1), unroll=8)
     return hs.swapaxes(0, 1), h_n
 
 

@@ -170,3 +170,33 @@ class TestChunkDocuments:
         for split in dm.splits.values():
             assert (split.lengths <= 40).all()
             assert (split.num_bytes > 0).all()
+
+
+class TestTokenCache:
+    def test_cache_roundtrip_equals_fresh(self):
+        import os
+        import tempfile
+        from sparse_vae_tpu.data.text_data_module import (
+            TextDataModule, TextDataModuleHparams)
+        hp = TextDataModuleHparams(
+            dataset_name="synthetic", synthetic_docs=24, vocab_size=512,
+            tokens_per_batch=1024, min_tokens_per_sample=4,
+            max_tokens_per_sample=250, pad_to_multiple_of=64, test_size=4)
+        cwd = os.getcwd()
+        with tempfile.TemporaryDirectory() as d:
+            os.chdir(d)
+            try:
+                dm1 = TextDataModule(hp)
+                dm1.prepare_data()          # cold: tokenizes + writes cache
+                assert dm1._token_cache_path().exists()
+                dm2 = TextDataModule(hp)
+                dm2.prepare_data()          # warm: loads the cache
+            finally:
+                os.chdir(cwd)
+        for split in dm1.splits:
+            a, b = dm1.splits[split], dm2.splits[split]
+            assert len(a) == len(b)
+            np.testing.assert_array_equal(a.num_bytes, b.num_bytes)
+            for i in range(len(a)):
+                np.testing.assert_array_equal(a.docs[i], b.docs[i])
+            assert a.titles == b.titles
