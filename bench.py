@@ -15,6 +15,7 @@ Flags:
   --steps N  timed steps (default 10)
 """
 import argparse
+import functools
 import json
 import sys
 import time
@@ -175,7 +176,7 @@ def main():
                         tokens[:1, :256])["params"]
     opt_state = optimizer.init(params)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch, step, rng):
         def loss_fn(p):
             return objective.loss(model, p, batch, step, rng)

@@ -91,7 +91,10 @@ class Trainer:
             weight_decay=self.hp.weight_decay, lamb=self.hp.lamb)
 
         self._grad_step = jax.jit(self._grad_step_impl)
-        self._apply_step = jax.jit(self._apply_step_impl)
+        # Donate (params, opt_state, grads): the optimizer update writes
+        # same-shaped outputs, so XLA reuses the buffers in place.
+        self._apply_step = jax.jit(self._apply_step_impl,
+                                   donate_argnums=(0, 1, 2))
         self._eval_step = jax.jit(self._eval_step_impl)
         self._batch_sharding = None
         self._rows_multiple = 1
