@@ -117,6 +117,8 @@ def main():
     parser.add_argument("--profile", action="store_true",
                         help="jax.profiler trace of the timed steps to "
                              "/tmp/svt-profile")
+    parser.add_argument("--remat", default="dots",
+                        choices=["full", "dots", "offload"])
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--seq", type=int, default=12800)
     parser.add_argument("--mode", choices=["train", "generate"],
@@ -157,7 +159,7 @@ def main():
             sparse_self_attention=True, attn_window_size=2,
             attn_block_size=128, grad_checkpointing=True,
             loss_chunk_size=2048, use_pallas_kernel=args.pallas,
-            precision="bf16")
+            precision="bf16", remat_policy=args.remat)
 
     model = TransformerVAE(hp)
     objective = VAEObjective(hp)
