@@ -17,6 +17,13 @@ jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
+# The native C++ batch packer (native/libsvtnative.so) is a build artifact,
+# not committed — build it on first run so a fresh clone's suite passes.
+_native_dir = os.path.join(os.path.dirname(__file__), "..", "native")
+if not os.path.exists(os.path.join(_native_dir, "libsvtnative.so")):
+    import subprocess
+    subprocess.run(["make", "-C", _native_dir], check=True)
+
 
 @pytest.fixture(scope="session")
 def cpu_devices():
