@@ -8,8 +8,15 @@ attention, remat, bf16, chunked fused projection+CE) at the reference's
 vocab, ~100k-token batches (hparam_presets.py:122-148) — against the
 north-star target of 100,000 tokens/sec/chip (BASELINE.json).
 
+The axon-tunneled TPU worker can crash transiently (FAILED_PRECONDITION at
+the first device sync) and recovers after ~1-2 min idle. The default
+invocation therefore SUPERVISES the measurement in a subprocess: a fresh
+attempt gets a fresh TPU client, failures back off and retry, and the JSON
+line is always printed (with an "error" field if every attempt died) so the
+driver's BENCH record never ends at rc=1 with no output.
+
 Flags:
-  --smoke    tiny config on CPU (CI sanity)
+  --smoke    tiny config on CPU (CI sanity; runs in-process, no supervisor)
   --pallas   use the fused Pallas attention kernel (first Mosaic compile is
              slow over the axon tunnel; cached afterwards)
   --steps N  timed steps (default 10)
@@ -17,8 +24,46 @@ Flags:
 import argparse
 import functools
 import json
+import os
+import subprocess
 import sys
 import time
+
+ATTEMPTS = 3
+BACKOFF_S = 100  # axon worker recovers in ~1-2 min
+
+
+def supervise(argv, script=None, backoff_s=BACKOFF_S):
+    """Run this benchmark as a subprocess, retrying transient TPU-worker
+    crashes. Prints the inner run's JSON line (or an error JSON) and always
+    exits 0 so the driver records a parseable result."""
+    script = script or os.path.abspath(__file__)
+    last_err = "unknown"
+    for attempt in range(1, ATTEMPTS + 1):
+        proc = subprocess.run(
+            [sys.executable, script, "--_inner"] + argv,
+            stdout=subprocess.PIPE, text=True)
+        json_line = None
+        for line in (proc.stdout or "").splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                json_line = line
+            elif line:
+                print(line, file=sys.stderr)
+        if proc.returncode == 0 and json_line is not None:
+            print(json_line)
+            return 0
+        last_err = (f"attempt {attempt}/{ATTEMPTS} rc={proc.returncode}, "
+                    f"json={'yes' if json_line else 'no'}")
+        print(f"# bench {last_err}; backing off {backoff_s}s for the TPU "
+              f"worker to recover", file=sys.stderr)
+        if attempt < ATTEMPTS:
+            time.sleep(backoff_s)
+    print(json.dumps({
+        "metric": "transformer_vae_train_throughput", "value": 0,
+        "unit": "tokens/s/chip", "vs_baseline": 0.0,
+        "error": f"all {ATTEMPTS} attempts failed ({last_err})"}))
+    return 0
 
 
 def bench_generate(args):
@@ -125,7 +170,12 @@ def main():
                         default="train",
                         help="generate: Jacobi parallel decode vs the AR "
                              "while_loop, wall-clock on device")
+    parser.add_argument("--_inner", action="store_true",
+                        help=argparse.SUPPRESS)
     args = parser.parse_args()
+
+    if not args._inner and not args.smoke:
+        return supervise([a for a in sys.argv[1:] if a != "--_inner"])
 
     import jax
     if args.smoke:

@@ -192,12 +192,18 @@ def load_raw_texts(dataset_name: str, dataset_config: Optional[str],
     """Fetch raw documents for a dataset spec.
 
     - 'synthetic' -> deterministic generated corpus (no network);
+    - 'local-prose' -> real English prose harvested from the host image
+      (docstrings + bundled docs; see local_corpus.py) — the zero-egress
+      stand-in for the reference's Wikipedia/PG-19 hub downloads;
     - dataset_path -> datasets.load_from_disk (text or pretokenized column);
     - otherwise -> datasets.load_dataset (requires the HF cache or network,
       like the reference's create_dataset, text_data_module.py:88-96).
     """
     if dataset_name == "synthetic":
         return synthetic_texts(synthetic_docs, seed=seed)
+    if dataset_name == "local-prose":
+        from .local_corpus import build_local_prose
+        return build_local_prose()
 
     import datasets as hfd
     if dataset_path:
