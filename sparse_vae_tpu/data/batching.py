@@ -39,10 +39,24 @@ class TextBatch(NamedTuple):
         return self.token_ids != 0
 
 
-def length_bucket(n_tokens: int, multiple: int = 512) -> int:
-    """Round a document length up to its padding bucket
-    (text_data_module.py:166-170 rounds num_tokens up to the 512 multiple)."""
-    return ((n_tokens + multiple - 1) // multiple) * multiple
+def length_bucket(n_tokens: int, multiple: int = 512,
+                  coarsen_after: int = 8) -> int:
+    """Round a document length up to its padding bucket.
+
+    The reference rounds up to a fixed 512 multiple
+    (text_data_module.py:166-170); on GPU a fresh shape is free, but under
+    jit every distinct bucket is one XLA compile. With documents spanning
+    512..100k tokens that is ~200 buckets, so beyond ``coarsen_after``
+    multiples the granularity doubles each octave: buckets are multiples of
+    512 up to 4096 tokens, multiples of 1024 up to 8192, and so on. This
+    bounds the compiled-shape count at ~3*coarsen_after regardless of corpus
+    length spread, while padding waste on long documents stays below
+    ~1/coarsen_after of the batch.
+    """
+    g = multiple
+    while coarsen_after > 0 and n_tokens > coarsen_after * g:
+        g *= 2
+    return ((n_tokens + g - 1) // g) * g
 
 
 @dataclass
@@ -75,7 +89,8 @@ def plan_batches(
     """
     rng = rng or np.random.default_rng()
     lengths = np.asarray(lengths)
-    buckets = ((lengths + pad_to_multiple_of - 1) // pad_to_multiple_of) * pad_to_multiple_of
+    buckets = np.array([length_bucket(int(n), pad_to_multiple_of)
+                        for n in lengths])
 
     plans: List[BatchPlan] = []
     for bucket_len in np.unique(buckets):

@@ -52,6 +52,29 @@ class TestBatching:
         assert length_bucket(512) == 512
         assert length_bucket(513) == 1024
 
+    def test_length_bucket_geometric_coarsening(self):
+        # Fine 512-granularity up to 8x512, then doubling per octave.
+        assert length_bucket(4096) == 4096
+        assert length_bucket(4097) == 5120    # granularity 1024
+        assert length_bucket(8193) == 10240   # granularity 2048
+        assert length_bucket(100_000) == 106_496  # granularity 16384
+        # Monotone non-decreasing and always >= n
+        prev = 0
+        for n in range(1, 120_000, 997):
+            b = length_bucket(n)
+            assert b >= n and b >= prev and b % 512 == 0
+            prev = b
+        # coarsen_after=0 disables coarsening entirely
+        assert length_bucket(100_000, 512, coarsen_after=0) == 100_352
+
+    def test_bounded_shape_count_long_corpus(self):
+        # The point of coarsening: a pg19-scale length spread compiles to a
+        # small fixed set of shapes.
+        rng = np.random.default_rng(0)
+        lengths = rng.integers(30, 102_400, size=5000)
+        plans = plan_batches(lengths, tokens_per_batch=102_912, rng=rng)
+        assert len(batch_shapes(plans)) <= 32
+
     def test_token_budget_invariant(self):
         rng = np.random.default_rng(0)
         lengths = rng.integers(30, 5000, size=500)
