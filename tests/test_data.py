@@ -57,7 +57,7 @@ class TestBatching:
         assert length_bucket(4096) == 4096
         assert length_bucket(4097) == 5120    # granularity 1024
         assert length_bucket(8193) == 10240   # granularity 2048
-        assert length_bucket(100_000) == 106_496  # granularity 16384
+        assert length_bucket(100_000) == 114_688  # granularity 16384
         # Monotone non-decreasing and always >= n
         prev = 0
         for n in range(1, 120_000, 997):
