@@ -38,18 +38,27 @@ class ContinuousVAEHparams(LanguageModelHparams):
     train_mc_samples: int = 1
 
 
-def normalized_kl(raw_kl, num_tokens):
-    """Sum KL over everything but batch, divide by each doc's token count,
-    mean over *real* rows (sample_z, continuous_autoencoder.py:42-52; the
-    real-row mean guards the batcher's all-[PAD] filler rows)."""
+def kl_sums(raw_kl, num_tokens):
+    """Per-batch KL numerators: (sum over real rows of per-doc KL / doc
+    tokens, sum of raw per-doc KL, real-row count). Dividing the first two
+    by the third gives the reference's per-token-normalized KL and its raw
+    mean (sample_z, continuous_autoencoder.py:42-52); keeping them as sums
+    lets the data-parallel path psum them for an exact global mean."""
     per_doc = raw_kl.reshape(raw_kl.shape[0], -1).sum(axis=-1)
     real = num_tokens > 0
     denom = jnp.maximum(num_tokens, 1)
-    kl = jnp.sum(jnp.where(real, per_doc / denom, 0.0)) / jnp.maximum(
-        jnp.sum(real), 1)
-    raw_mean = jnp.sum(jnp.where(real, per_doc, 0.0)) / jnp.maximum(
-        jnp.sum(real), 1)
-    return kl, raw_mean
+    kl_sum = jnp.sum(jnp.where(real, per_doc / denom, 0.0))
+    raw_sum = jnp.sum(jnp.where(real, per_doc, 0.0))
+    return kl_sum, raw_sum, jnp.sum(real).astype(per_doc.dtype)
+
+
+def normalized_kl(raw_kl, num_tokens):
+    """Sum KL over everything but batch, divide by each doc's token count,
+    mean over *real* rows (the real-row mean guards the batcher's all-[PAD]
+    filler rows)."""
+    kl_sum, raw_sum, rows = kl_sums(raw_kl, num_tokens)
+    rows = jnp.maximum(rows, 1)
+    return kl_sum / rows, raw_sum / rows
 
 
 class VAEObjective:
@@ -70,12 +79,17 @@ class VAEObjective:
                                   self.hp.kl_weight_end,
                                   self.hp.kl_annealing_steps)
 
-    def loss(self, module, params, batch, step, rng
-             ) -> Tuple[jax.Array, Dict[str, Any]]:
+    def loss_sums(self, module, params, batch, step, rng
+                  ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+        """(differentiable numerator sums, count denominators) whose
+        composition (compose_loss) is the ELBO. Sums/counts are local to
+        `batch`; the data-parallel step psums both before composing, making
+        the sharded loss and gradient exactly the global token/row-weighted
+        ones no matter how unevenly real tokens spread over shards."""
         drop_rng, sample_rng, mi_rng = jax.random.split(rng, 3)
         rngs = {"dropout": drop_rng, "sample": sample_rng}
         if getattr(self.hp, "train_mc_samples", 1) > 1:
-            return self._multi_sample_loss(module, params, batch, rngs)
+            return self._multi_sample_sums(module, params, batch, rngs)
         if getattr(self.hp, "loss_chunk_size", 0) and hasattr(
                 type(module), "forward_chunked_nll"):
             # Long-document path: fused projection+CE over sequence chunks,
@@ -83,27 +97,53 @@ class VAEObjective:
             nll_sum, count, raw_kl, posterior, z = module.apply(
                 {"params": params}, batch["token_ids"], rngs=rngs,
                 method=type(module).forward_chunked_nll)
-            nll = nll_sum / jnp.maximum(count, 1.0)
         else:
             logits, raw_kl, posterior, z = module.apply(
                 {"params": params}, batch["token_ids"], rngs=rngs)
-            nll = token_nll(logits[:, :-1], batch["token_ids"][:, 1:])
-        kl, raw_kl_mean = normalized_kl(raw_kl, batch["num_tokens"])
-        weight = self.kl_weight(step)
-        loss = nll + weight * kl
-
-        metrics = {"train_nll": nll, "train_kl": raw_kl_mean,
-                   "kl_weight": weight}
+            nll, mask = token_nll(logits[:, :-1], batch["token_ids"][:, 1:],
+                                  reduce=False)
+            nll_sum, count = jnp.sum(nll), jnp.sum(mask).astype(jnp.float32)
+        kl_sum, raw_kl_sum, rows = kl_sums(raw_kl, batch["num_tokens"])
+        sums = {"nll_sum": nll_sum, "kl_sum": kl_sum,
+                "raw_kl_sum": raw_kl_sum}
+        counts = {"token_count": count, "row_count": rows}
         if batch["token_ids"].shape[0] > 1:
+            # Mutual-info diagnostic (transformer_vae.py:59-61). The
+            # marginal-KL MC estimate uses this shard's posterior mixture;
+            # under sharding the row-weighted average of per-shard estimates
+            # is logged (a diagnostic, not part of the loss).
             detached = DiagonalGaussian(
                 jax.lax.stop_gradient(posterior.loc),
                 jax.lax.stop_gradient(posterior.scale))
-            metrics["train_mc_mutual_info"] = kl - marginal_kl(
-                detached, mi_rng, self.mi_samples)
+            sums["marginal_kl_rows"] = jax.lax.stop_gradient(
+                marginal_kl(detached, mi_rng, self.mi_samples)) * rows
+        return sums, counts
+
+    def compose_loss(self, sums, counts, step
+                     ) -> Tuple[jax.Array, Dict[str, Any]]:
+        tokens = jnp.maximum(counts["token_count"], 1.0)
+        rows = jnp.maximum(counts["row_count"], 1.0)
+        if "neg_bound_sum" in sums:  # multi-sample DReG path
+            loss = sums["neg_bound_sum"] / rows
+            return loss, {"train_iwae_log_prob": sums["bound_sum"] / rows}
+        nll = sums["nll_sum"] / tokens
+        kl = sums["kl_sum"] / rows
+        weight = self.kl_weight(step)
+        loss = nll + weight * kl
+        metrics = {"train_nll": nll, "train_kl": sums["raw_kl_sum"] / rows,
+                   "kl_weight": weight}
+        if "marginal_kl_rows" in sums:
+            metrics["train_mc_mutual_info"] = kl - (
+                sums["marginal_kl_rows"] / rows)
         return loss, metrics
 
-    def _multi_sample_loss(self, module, params, batch, rngs
-                           ) -> Tuple[jax.Array, Dict[str, Any]]:
+    def loss(self, module, params, batch, step, rng
+             ) -> Tuple[jax.Array, Dict[str, Any]]:
+        sums, counts = self.loss_sums(module, params, batch, step, rng)
+        return self.compose_loss(sums, counts, step)
+
+    def _multi_sample_sums(self, module, params, batch, rngs
+                           ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
         """K-sample IWAE-DReG training (train_mc_samples > 1). The KL
         annealing schedule does not apply — the IWAE bound has no separate
         KL term."""
@@ -115,13 +155,11 @@ class VAEObjective:
             return module.apply({"params": params}, token_ids, z,
                                 rngs=rngs, method=type(module).reconstruct)
 
-        loss, bound = iwae_dreg_loss(
+        neg_sum, bound_sum, rows = iwae_dreg_sums(
             reconstruct, posterior, token_ids, batch["num_tokens"],
             rngs["sample"], self.hp.train_mc_samples)
-        real = batch["num_tokens"] > 0
-        bound_mean = jnp.sum(jnp.where(real, bound, 0.0)) / jnp.maximum(
-            jnp.sum(real), 1)
-        return loss, {"train_iwae_log_prob": bound_mean}
+        return ({"neg_bound_sum": neg_sum, "bound_sum": bound_sum},
+                {"token_count": jnp.asarray(0.0), "row_count": rows})
 
     def eval_stats(self, module, params, batch, rng) -> Dict[str, jax.Array]:
         sample_rng, _ = jax.random.split(rng)
@@ -227,6 +265,21 @@ def iwae_dreg_loss(reconstruct_logits, posterior: DiagonalGaussian,
     loss = -jnp.sum(jnp.where(real, per_doc / denom, 0.0)) / jnp.maximum(
         jnp.sum(real), 1)
     return loss, bound
+
+
+def iwae_dreg_sums(reconstruct_logits, posterior: DiagonalGaussian,
+                   token_ids, num_tokens, rng, num_samples: int):
+    """DReG numerators for the data-parallel composition: (-sum over real
+    rows of the per-token surrogate bound, stop-gradient sum of per-document
+    bounds, real-row count). Dividing the first by the third reproduces
+    iwae_dreg_loss's loss exactly."""
+    loss, bound = iwae_dreg_loss(reconstruct_logits, posterior, token_ids,
+                                 num_tokens, rng, num_samples)
+    real = num_tokens > 0
+    rows = jnp.sum(real).astype(jnp.float32)
+    bound_sum = jax.lax.stop_gradient(
+        jnp.sum(jnp.where(real, bound, 0.0)))
+    return loss * jnp.maximum(rows, 1), bound_sum, rows
 
 
 def estimate_log_prob_iw(reconstruct_logits, posterior: DiagonalGaussian,

@@ -1,69 +1,174 @@
-"""Explicit-SPMD training step via shard_map.
+"""Explicit-SPMD training/eval steps: shard_map + psum'd loss sums.
 
-The Trainer's default multi-device path relies on GSPMD: batch sharded on
-'data', params replicated, XLA inserts the gradient psum. That is correct
-for pure-XLA graphs, but custom calls (the Pallas attention / CE kernels)
-have no partitioning rules — GSPMD falls back to gathering their operands,
-which silently serializes the hot path on real multi-chip hardware.
+The production multi-device path. GSPMD (replicated params + sharded batch
+under plain jit) is correct for pure-XLA graphs, but custom calls (the
+Pallas attention / CE kernels) have no GSPMD partitioning rules — the
+partitioner gathers their operands and silently serializes the hot path on
+real multi-chip hardware. `make_train_step(mesh=...)` instead maps the
+per-device computation explicitly with `jax.shard_map`: every device runs
+the full step on its local batch shard (Pallas kernels included, untouched)
+and the collectives are explicit psums over the 'data' axis (SURVEY §2.10).
 
-`sharded_train_step` instead maps the per-device step explicitly with
-`jax.shard_map`: every device runs the full jitted step on its local batch
-shard (Pallas kernels included, untouched), and gradients/metrics are
-psum-averaged over the 'data' axis — the classic data-parallel SPMD recipe
-(SURVEY.md §2.10). Params stay replicated; the optimizer update runs
-identically on every device.
+Exactness: objectives expose `loss_sums` (differentiable numerators) and
+`compose_loss` (normalization by token/row counts). The sharded step psums
+numerators AND counts before composing, so the loss — and therefore the
+gradient — is exactly the global token-weighted mean, even when shards
+carry unequal real-token counts (the batcher's all-[PAD] filler rows).
+A pmean of per-shard means would weight sparse shards' tokens more; this
+formulation has no such bias, which tests/test_parallel.py checks to
+float-exactness against a single-device simulation.
+
+Gradient accumulation runs INSIDE the jitted step as a lax.scan over
+stacked same-shape microbatches (one device dispatch per optimizer step;
+SURVEY §2.10's plan), with metrics averaged over microbatches. The psum
+happens once, on the accumulated gradient.
+
+RNG semantics (pinned): the step rng is folded with the device's data-axis
+index, then split per microbatch — every (shard, microbatch) gets an
+independent stream, reproducible on any mesh shape.
 """
 from __future__ import annotations
 
-import functools
-from typing import Callable
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+DATA_AXIS = "data"
 
-def sharded_train_step(loss_fn: Callable, optimizer, mesh: Mesh):
-    """Build a jitted data-parallel train step over `mesh`'s 'data' axis.
 
-    loss_fn(params, batch, step, rng) -> (loss, metrics_dict) computed on a
-    LOCAL batch shard. Returns step_fn(params, opt_state, batch, step, rng)
-    -> (params, opt_state, loss, metrics); `batch` may be sharded or fully
-    replicated host arrays (shard_map splits on the leading axis).
+def stacked_batch_spec(mesh: Mesh) -> NamedSharding:
+    """Sharding for stacked train batches [k_accum, rows, ...]: rows (axis 1)
+    sharded over 'data'."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
+def batch_spec(mesh: Mesh) -> NamedSharding:
+    """Sharding for unstacked eval batches [rows, ...]."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def shard_batch(batch: dict, mesh: Mesh, stacked: bool = False) -> dict:
+    """Place a host batch dict on the mesh with rows sharded on 'data'."""
+    sharding = stacked_batch_spec(mesh) if stacked else batch_spec(mesh)
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def stack_microbatches(batches: list) -> dict:
+    """Stack k same-shape TextBatches into [k, rows, ...] arrays."""
+    import numpy as np
+    return {
+        "token_ids": np.stack([b.token_ids for b in batches]),
+        "num_tokens": np.stack([b.num_tokens for b in batches]),
+        "num_bytes": np.stack([b.num_bytes for b in batches]),
+    }
+
+
+def make_train_step(module, objective, optimizer,
+                    mesh: Optional[Mesh] = None):
+    """Build the jitted optimizer step.
+
+    step_fn(params, opt_state, stacked_batch, step, rng)
+        -> (params, opt_state, metrics)
+
+    stacked_batch arrays carry a leading microbatch axis [k, rows, ...]
+    (k = gradient-accumulation factor, static per compiled shape; use
+    stack_microbatches). Loss per microbatch is the exact global
+    token/row-weighted composition of psum'd loss_sums; accumulated
+    gradients follow Lightning semantics (mean of per-microbatch global
+    gradients, train.py:19). metrics are means over microbatches plus
+    grad_norm (of the clipped-input gradient, language_model.py:120-122).
+    params/opt_state buffers are donated.
     """
-    data_axis = "data"
 
-    def per_device(params, opt_state, batch, step, rng):
-        def local_loss(p):
-            return loss_fn(p, batch, step, rng)
+    def micro_grads(params, mb, step, rng):
+        if mesh is None:
+            def local(p):
+                sums, counts = objective.loss_sums(module, p, mb, step, rng)
+                return objective.compose_loss(sums, counts, step)
 
-        (loss, metrics), grads = jax.value_and_grad(
-            local_loss, has_aux=True)(params)
-        # Average over the data axis: the explicit collective that GSPMD
-        # would have inserted, now guaranteed to ride ICI around the
-        # untouched per-shard Pallas kernels.
-        grads = jax.lax.pmean(grads, data_axis)
-        loss = jax.lax.pmean(loss, data_axis)
-        metrics = jax.tree.map(lambda m: jax.lax.pmean(m, data_axis),
-                               metrics)
-        import optax
+            (loss, metrics), grads = jax.value_and_grad(
+                local, has_aux=True)(params)
+            metrics["loss"] = loss
+            return grads, metrics
+
+        # Sharded: differentiate the LOCAL sums only and weight their
+        # cotangent by the GLOBAL composition. compose_loss is linear in
+        # `sums` (numerator/denominator form), so d loss/d local_sums ==
+        # d loss/d global_sums — evaluated once at the psum'd values. This
+        # avoids differentiating *through* psum, whose transpose under
+        # check_vma=False is psum again and double-counts the gradient by
+        # the axis size.
+        def local_sums(p):
+            return objective.loss_sums(module, p, mb, step, rng)
+
+        (sums, counts), vjp = jax.vjp(local_sums, params)
+        g_sums = jax.lax.psum(sums, DATA_AXIS)
+        g_counts = jax.lax.psum(counts, DATA_AXIS)
+        loss, metrics = objective.compose_loss(g_sums, g_counts, step)
+        ct_sums = jax.grad(
+            lambda s: objective.compose_loss(s, g_counts, step)[0])(g_sums)
+        (grads,) = vjp((ct_sums, jax.tree.map(jnp.zeros_like, counts)))
+        metrics["loss"] = loss
+        return grads, metrics
+
+    def core(params, opt_state, batch, step, rng):
+        if mesh is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+        k = batch["token_ids"].shape[0]
+        rngs = jax.random.split(rng, k)
+        if k == 1:
+            mb = {name: arr[0] for name, arr in batch.items()}
+            grads, metrics = micro_grads(params, mb, step, rngs[0])
+        else:
+            def body(acc, xs):
+                mb, r = xs
+                g, m = micro_grads(params, mb, step, r)
+                return jax.tree.map(jnp.add, acc, g), m
+
+            zeros = jax.tree.map(jnp.zeros_like, params)
+            grads, metrics_stack = jax.lax.scan(body, zeros, (batch, rngs))
+            metrics = jax.tree.map(lambda m: jnp.mean(m, axis=0),
+                                   metrics_stack)
+        if mesh is not None:
+            # One collective per optimizer step: the grads of the psum'd
+            # losses are partial (each device holds its shard's terms).
+            grads = jax.lax.psum(grads, DATA_AXIS)
+        grads = jax.tree.map(lambda g: g / k, grads)
+        metrics["grad_norm"] = optax.global_norm(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, metrics
+        return params, opt_state, metrics
 
-    replicated = P()
-    batch_spec = P(data_axis)
-    mapped = jax.shard_map(
-        per_device, mesh=mesh,
-        in_specs=(replicated, replicated, batch_spec, replicated,
-                  replicated),
-        out_specs=(replicated, replicated, replicated, replicated),
-        check_vma=False,
-    )
-    return jax.jit(mapped)
+    if mesh is not None:
+        rep = P()
+        core = jax.shard_map(
+            core, mesh=mesh,
+            in_specs=(rep, rep, P(None, DATA_AXIS), rep, rep),
+            out_specs=(rep, rep, rep),
+            check_vma=False,
+        )
+    return jax.jit(core, donate_argnums=(0, 1))
 
 
-def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Place a host batch dict with the leading dim sharded on 'data'."""
-    sharding = NamedSharding(mesh, P("data"))
-    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+def make_eval_step(module, objective, mesh: Optional[Mesh] = None):
+    """Jitted eval step returning the objective's summed eval statistics
+    (psum'd over 'data' when sharded — exact, since eval_stats are sums)."""
+
+    def core(params, batch, rng):
+        stats = objective.eval_stats(module, params, batch, rng)
+        if mesh is not None:
+            stats = jax.lax.psum(stats, DATA_AXIS)
+        return stats
+
+    if mesh is not None:
+        rep = P()
+        core = jax.shard_map(
+            core, mesh=mesh,
+            in_specs=(rep, P(DATA_AXIS), rep),
+            out_specs=rep,
+            check_vma=False,
+        )
+    return jax.jit(core)

@@ -48,16 +48,31 @@ class ARObjective:
                             batch["token_ids"][:, 1:],
                             method=type(module).sequence_nll)
 
-    def loss(self, module, params, batch, step, rng
-             ) -> Tuple[jax.Array, Dict[str, Any]]:
+    def loss_sums(self, module, params, batch, step, rng
+                  ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+        """(differentiable numerator sums, count denominators); composed by
+        compose_loss. The data-parallel step psums both before composing so
+        the sharded loss/gradient is the exact global per-token mean even
+        when shards carry unequal real-token counts."""
         if self._chunked(module):
             nll_sum, count = self._chunked_stats(module, params, batch, rng)
-            nll = nll_sum / jnp.maximum(count, 1.0)
         else:
             logits = module.apply({"params": params}, batch["token_ids"],
                                   rngs={"dropout": rng})
-            nll = token_nll(logits[:, :-1], batch["token_ids"][:, 1:])
+            nll, mask = token_nll(logits[:, :-1], batch["token_ids"][:, 1:],
+                                  reduce=False)
+            nll_sum, count = jnp.sum(nll), jnp.sum(mask).astype(jnp.float32)
+        return {"nll_sum": nll_sum}, {"token_count": count}
+
+    def compose_loss(self, sums, counts, step
+                     ) -> Tuple[jax.Array, Dict[str, Any]]:
+        nll = sums["nll_sum"] / jnp.maximum(counts["token_count"], 1.0)
         return nll, {"train_nll": nll}
+
+    def loss(self, module, params, batch, step, rng
+             ) -> Tuple[jax.Array, Dict[str, Any]]:
+        sums, counts = self.loss_sums(module, params, batch, step, rng)
+        return self.compose_loss(sums, counts, step)
 
     def eval_stats(self, module, params, batch, rng) -> Dict[str, jax.Array]:
         if self._chunked(module):

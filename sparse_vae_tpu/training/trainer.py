@@ -5,18 +5,24 @@ the callbacks wired in language_model.py:48-55): a host loop around jitted
 gradient/apply steps with
 
 - gradient accumulation across loader batches (Lightning
-  accumulate_grad_batches semantics, train.py:19);
+  accumulate_grad_batches semantics, train.py:19) — run as a lax.scan over
+  same-shape stacked microbatches INSIDE one jitted optimizer step, so the
+  host dispatches once per step and metrics average over microbatches;
 - sqrt-batch lr scaling + per-step cosine decay, halting when the schedule
   reaches zero (language_model.py:68-78,135-141 — we stop cleanly instead of
   raising KeyboardInterrupt);
 - validation with token-weighted val_nll / val_bpb, early stopping (min
   mode), best-metric checkpointing (Orbax), and the periodic
   text-sampling/BLEU callback (text_sampling_callback.py);
-- optional data-parallel sharding over a jax Mesh (batch sharded on the
-  'data' axis, params replicated — XLA inserts the grad psum; SURVEY §2.10).
+- optional data-parallel sharding over a jax Mesh via the explicit
+  shard_map SPMD step (parallel/spmd.py): batch rows sharded on 'data',
+  params replicated, exact token-weighted psum'd loss — the path where
+  Pallas kernels run untouched per shard (GSPMD has no partitioning rules
+  for their custom calls and would serialize them).
 
 Each distinct batch shape triggers one compile; the bucketed batcher bounds
-that set.
+that set. Accumulation groups are shape-homogeneous (microbatches of one
+optimizer step share a length bucket) so the scan has static shapes.
 """
 from __future__ import annotations
 
@@ -28,7 +34,6 @@ from typing import Any, Callable, Dict, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from ..data.text_data_module import TextDataModule
 from ..utils.config import TrainerHparams, to_dict
@@ -90,38 +95,11 @@ class Trainer:
             grad_clip_threshold=self.hp.grad_clip_threshold,
             weight_decay=self.hp.weight_decay, lamb=self.hp.lamb)
 
-        self._grad_step = jax.jit(self._grad_step_impl)
-        # Donate (params, opt_state, grads): the optimizer update writes
-        # same-shaped outputs, so XLA reuses the buffers in place.
-        self._apply_step = jax.jit(self._apply_step_impl,
-                                   donate_argnums=(0, 1, 2))
-        self._eval_step = jax.jit(self._eval_step_impl)
-        self._batch_sharding = None
-        self._rows_multiple = 1
-        if mesh is not None:
-            self._batch_sharding = jax.sharding.NamedSharding(
-                mesh, jax.sharding.PartitionSpec("data"))
-            self._rows_multiple = mesh.shape["data"]
-
-    # -- jitted pieces ------------------------------------------------------
-    def _grad_step_impl(self, params, batch, step, rng):
-        def loss_fn(p):
-            return self.objective.loss(self.module, p, batch, step, rng)
-        (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
-        metrics["loss"] = loss
-        return grads, metrics
-
-    def _apply_step_impl(self, params, opt_state, grads):
-        k = self.thp.accumulate_grad_batches
-        grads = jax.tree.map(lambda g: g / k, grads)
-        grad_norm = optax.global_norm(grads)
-        updates, opt_state = self.optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, grad_norm
-
-    def _eval_step_impl(self, params, batch, rng):
-        return self.objective.eval_stats(self.module, params, batch, rng)
+        from ..parallel.spmd import make_eval_step, make_train_step
+        self._train_step = make_train_step(module, objective, self.optimizer,
+                                           mesh=mesh)
+        self._eval_step = make_eval_step(module, objective, mesh=mesh)
+        self._rows_multiple = mesh.shape["data"] if mesh is not None else 1
 
     # -- setup --------------------------------------------------------------
     def init_state(self, rng):
@@ -137,14 +115,30 @@ class Trainer:
                 else x, opt_state)
         return params, opt_state
 
-    def _put(self, arrays):
-        if self._batch_sharding is None:
+    def _put(self, arrays, stacked: bool = False):
+        if self.mesh is None:
             return arrays
-        from ..parallel.mesh import pad_batch_rows
-        arrays = pad_batch_rows(arrays, self._rows_multiple)
-        return {k: jax.device_put(
-                    v, self._batch_sharding if v.ndim >= 1 else None)
-                for k, v in arrays.items()}
+        from ..parallel.spmd import shard_batch
+        return shard_batch(arrays, self.mesh, stacked=stacked)
+
+    def _accum_groups(self, seed: int):
+        """Group the epoch's batches into shape-homogeneous stacks of
+        accumulate_grad_batches microbatches (remainders flush at epoch end
+        as smaller stacks). Yields (stacked arrays [k, rows, ...], last
+        TextBatch of the group — for the sampling callback)."""
+        from ..parallel.spmd import stack_microbatches
+        k = self.thp.accumulate_grad_batches
+        pending: Dict[tuple, list] = {}
+        for batch in self.data.epoch_batches(
+                "train", seed=seed, rows_multiple_of=self._rows_multiple):
+            key = batch.token_ids.shape
+            pending.setdefault(key, []).append(batch)
+            if len(pending[key]) == k:
+                group = pending.pop(key)
+                yield stack_microbatches(group), group[-1]
+        for key in sorted(pending, key=str):
+            group = pending.pop(key)
+            yield stack_microbatches(group), group[-1]
 
     # -- validation ---------------------------------------------------------
     def validate(self, params, rng, max_batches: Optional[int] = None
@@ -230,7 +224,6 @@ class Trainer:
 
         best_metric, patience_left = None, self.thp.early_stopping_patience
         history, stopped = [], "max_epochs"
-        grads_acc, micro = None, 0
         metric_name = self.hp.early_stopping_metric
         t0, tokens_seen = time.time(), 0
 
@@ -240,23 +233,14 @@ class Trainer:
         profile_start, profiling = (3 if step < 3 else step + 2), False
 
         for epoch in range(max_epochs):
-            for batch in self.data.epoch_batches(
-                    "train", seed=self.thp.seed + epoch,
-                    rows_multiple_of=self._rows_multiple):
+            for stacked, batch in self._accum_groups(self.thp.seed + epoch):
                 rng, step_rng = jax.random.split(rng)
-                arrays = self._put(batch_arrays(batch))
-                grads, metrics = self._grad_step(
-                    params, arrays, jnp.asarray(step), step_rng)
-                tokens_seen += int(batch.num_tokens.sum())
-                grads_acc = grads if grads_acc is None else jax.tree.map(
-                    jnp.add, grads_acc, grads)
-                micro += 1
-                if micro < k_accum:
-                    continue
-
-                params, opt_state, grad_norm = self._apply_step(
-                    params, opt_state, grads_acc)
-                grads_acc, micro = None, 0
+                arrays = self._put(
+                    {k: jnp.asarray(v) for k, v in stacked.items()},
+                    stacked=True)
+                tokens_seen += int(stacked["num_tokens"].sum())
+                params, opt_state, metrics = self._train_step(
+                    params, opt_state, arrays, jnp.asarray(step), step_rng)
                 step += 1
 
                 if profile_n and not profiling and step == profile_start:
@@ -271,7 +255,6 @@ class Trainer:
 
                 if step % self.thp.log_every_n_steps == 0:
                     logged = {k: float(v) for k, v in metrics.items()}
-                    logged["grad_norm"] = float(grad_norm)
                     elapsed = max(time.time() - t0, 1e-6)
                     logged["tokens_per_sec"] = tokens_seen / elapsed
                     self.writer.scalars(logged, step)
