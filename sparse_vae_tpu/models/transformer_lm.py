@@ -166,6 +166,30 @@ class TransformerLanguageModel(nn.Module):
         return chunked_cross_entropy(hidden, self.project, labels,
                                      hp.loss_chunk_size or 2048)
 
+    def sequence_ll_rows(self, hidden, labels):
+        """Per-row summed log p(labels | hidden) over non-pad labels, logits
+        never fully materialized — the per-document statistic the IWAE /
+        DReG estimators need at long context (continuous_autoencoder.py:83-88
+        did a full-logit gather). hidden: [B, L', D]; labels: [B, L']."""
+        hp = self.hparams
+        use_fused = (self.tie_output and hp.use_pallas_kernel
+                     and jax.default_backend() == "tpu"
+                     and hp.vocab_size % 1024 == 0)
+        if use_fused:
+            from ..ops.pallas_ce import fused_tied_cross_entropy
+            b, lp, d = hidden.shape
+            g = self.pre_logits(hidden.reshape(b * lp, d))
+            table = self.input_embedding.embedding.astype(self.dtype)
+            nll = fused_tied_cross_entropy(
+                g, table, self.output_bias.astype(jnp.float32),
+                labels.reshape(b * lp)).reshape(b, lp)
+            mask = (labels != 0).astype(jnp.float32)
+            return -jnp.sum(nll * mask, axis=-1)
+        from ..ops.cross_entropy import chunked_sequence_log_likelihood
+        return chunked_sequence_log_likelihood(
+            hidden, self.project, labels, self.hparams.loss_chunk_size
+            or 2048)
+
     def forward_hidden(self, token_ids, deterministic: bool = True):
         """Decoder stack output before the logits head — the chunked-CE
         entry point for long documents."""

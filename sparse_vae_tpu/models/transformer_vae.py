@@ -83,6 +83,13 @@ class TransformerVAE(TransformerLanguageModel):
         return self.project(
             self.reconstruct_hidden(token_ids, z, deterministic))
 
+    def reconstruct_ll(self, token_ids, z, deterministic: bool = True):
+        """Per-document log p(x|z) [B] with the next-token shift applied and
+        logits never fully materialized — the long-document path for the
+        IWAE / DReG estimators (test.py runs the pg19 preset through this)."""
+        h = self.reconstruct_hidden(token_ids, z, deterministic)
+        return self.sequence_ll_rows(h[:, :-1], token_ids[:, 1:])
+
     # -- training forward (VAEObjective contract) ---------------------------
     def __call__(self, token_ids, deterministic: bool = True):
         q, kl = self.posterior(token_ids, get_kl=True,

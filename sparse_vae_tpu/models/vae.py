@@ -150,10 +150,16 @@ class VAEObjective:
         token_ids = batch["token_ids"]
         posterior = module.apply({"params": params}, token_ids,
                                  rngs=rngs, method=type(module).posterior)
+        # Chunked per-document log-likelihood when the model offers it and
+        # chunking is requested — [K, B, L, V] logits never materialize.
+        use_ll = (getattr(self.hp, "loss_chunk_size", 0)
+                  and hasattr(type(module), "reconstruct_ll"))
+        method = (type(module).reconstruct_ll if use_ll
+                  else type(module).reconstruct)
 
         def reconstruct(z):
             return module.apply({"params": params}, token_ids, z,
-                                rngs=rngs, method=type(module).reconstruct)
+                                rngs=rngs, method=method)
 
         neg_sum, bound_sum, rows = iwae_dreg_sums(
             reconstruct, posterior, token_ids, batch["num_tokens"],
@@ -206,6 +212,23 @@ def _scale_gradient(x, s):
     return x * s - jax.lax.stop_gradient(x * s - x)
 
 
+def _log_px(out, labels, batch_shape):
+    """Normalize a reconstruct fn's output to per-document log p(x|z).
+
+    The estimators accept either contract:
+    - logits [..., B, L, V]: teacher-forced over the full token_ids; the
+      next-token shift (logits[:-1] vs labels=token_ids[1:]) happens here;
+    - log-likelihood [..., B]: the model already reduced (the chunked
+      long-document path, e.g. TransformerVAE.reconstruct_ll — full logits
+      never materialize).
+    """
+    if out.ndim == len(batch_shape):
+        return out
+    return sequence_log_likelihood(
+        out[..., :-1, :], jnp.broadcast_to(labels, (*batch_shape,
+                                                    labels.shape[-1])))
+
+
 def iwae_dreg_loss(reconstruct_logits, posterior: DiagonalGaussian,
                    token_ids, num_tokens, rng, num_samples: int):
     """K-sample IWAE training bound with the DReG gradient estimator
@@ -239,10 +262,8 @@ def iwae_dreg_loss(reconstruct_logits, posterior: DiagonalGaussian,
         log_p_z = standard_normal_log_prob(flat)         # [K, B]
         log_q_z = q_detached.log_prob(z_k).reshape(
             *z_k.shape[:2], -1).sum(axis=-1)
-        logits = jax.vmap(reconstruct_logits)(z_k)       # [K, B, L, V]
-        log_p_x = sequence_log_likelihood(
-            logits[..., :-1, :],
-            jnp.broadcast_to(labels, (num_samples, *labels.shape)))
+        out = jax.vmap(reconstruct_logits)(z_k)  # [K,B,L,V] or [K,B] (_log_px)
+        log_p_x = _log_px(out, labels, z_k.shape[:2])
         return log_p_x + log_p_z - log_q_z               # [K, B]
 
     # Pass 1 (no gradients): importance weights.
@@ -287,10 +308,12 @@ def estimate_log_prob_iw(reconstruct_logits, posterior: DiagonalGaussian,
     """Importance-weighted log p(x) (continuous_autoencoder.py:62-80).
 
     reconstruct_logits: fn z [B, ...latent] -> logits [B, L, V] (teacher
-    forced over token_ids); posterior: q(z|x); token_ids: [B, L] (0 = pad) —
-    the next-token shift (logits[:-1] vs token_ids[1:]) happens here.
-    Computation runs in `num_iter` sequential chunks of num_samples/num_iter
-    vmapped samples to bound memory. Returns [B] log p(x) estimates.
+    forced over token_ids; the next-token shift happens here) OR
+    -> per-document log p(x|z) [B] (the chunked long-document contract,
+    TransformerVAE.reconstruct_ll — see _log_px). posterior: q(z|x);
+    token_ids: [B, L] (0 = pad). Computation runs in `num_iter` sequential
+    chunks of num_samples/num_iter vmapped samples to bound memory.
+    Returns [B] log p(x) estimates.
     """
     assert num_samples % num_iter == 0
     chunk = num_samples // num_iter
@@ -302,10 +325,8 @@ def estimate_log_prob_iw(reconstruct_logits, posterior: DiagonalGaussian,
         log_p_z = standard_normal_log_prob(flat)    # [chunk, B]
         log_q_z = posterior.log_prob(z).reshape(
             *z.shape[:2], -1).sum(axis=-1)
-        logits = jax.vmap(reconstruct_logits)(z)    # [chunk, B, L, V]
-        log_p_x = sequence_log_likelihood(logits[..., :-1, :],
-                                          jnp.broadcast_to(
-                                              labels, (chunk, *labels.shape)))
+        out = jax.vmap(reconstruct_logits)(z)  # [chunk,B,L,V] or [chunk,B]
+        log_p_x = _log_px(out, labels, z.shape[:2])
         return log_p_z + log_p_x - log_q_z          # [chunk, B]
 
     def body(_, rng_i):

@@ -190,10 +190,74 @@ class Attention(nn.Module):
 
     # -- incremental decoding ----------------------------------------------
     def init_cache(self, batch_size: int, max_length: int):
+        """Decode-time KV cache.
+
+        Dense attention allocates the full [B, H, max_length, Dh] buffer.
+        Sparse attention allocates a BLOCK-RING cache instead — the
+        TPU-static realization of the reference's block-unit windowed
+        eviction (attention.py:113-134): `window_size` blocks of keys/values
+        in a ring (block b lives in slot b % window_size) plus a separate
+        copy of the [CLS] block. Memory and per-step attention cost are
+        O(window_size * block_size) regardless of document length, which is
+        what makes AR sampling of 100k-token pg19 documents feasible.
+        """
         head_dim = self.d_model // self.num_heads
+        if self.sparse:
+            ring = (batch_size, self.num_heads,
+                    self.window_size * self.block_size, head_dim)
+            cls = (batch_size, self.num_heads, self.block_size, head_dim)
+            return {"k_ring": jnp.zeros(ring, self.dtype),
+                    "v_ring": jnp.zeros(ring, self.dtype),
+                    "k_cls": jnp.zeros(cls, self.dtype),
+                    "v_cls": jnp.zeros(cls, self.dtype)}
         shape = (batch_size, self.num_heads, max_length, head_dim)
         return {"k": jnp.zeros(shape, self.dtype),
                 "v": jnp.zeros(shape, self.dtype)}
+
+    def _decode_ring(self, q, k_t, v_t, cache, index):
+        """Sliding-window decode against the block-ring cache.
+
+        Write: position `index` goes to ring offset index % (window*bs)
+        (block b occupies slot b % window); positions < block_size are also
+        copied into the CLS store via a one-sided cond. Read: ring slot s
+        currently holds block b_s = qb - ((qb % w - s) % w); a ring entry is
+        attendable iff its absolute position b_s*bs + i is <= index and
+        b_s >= 0 — which masks both unwritten slots and the current block's
+        stale tail. The CLS store is attended only once block 0 has left the
+        ring band (qb >= window), so block 0 is never double-counted.
+        Equals the full-cache masked attention exactly (tested)."""
+        bs, w = self.block_size, self.window_size
+        ring_len = w * bs
+        dt = cache["k_ring"].dtype
+        ring_idx = jnp.asarray(index) % ring_len
+        k_ring = jax.lax.dynamic_update_slice_in_dim(
+            cache["k_ring"], k_t.astype(dt), ring_idx, axis=2)
+        v_ring = jax.lax.dynamic_update_slice_in_dim(
+            cache["v_ring"], v_t.astype(dt), ring_idx, axis=2)
+        k_cls, v_cls = jax.lax.cond(
+            index < bs,
+            lambda kv: (jax.lax.dynamic_update_slice_in_dim(
+                            kv[0], k_t.astype(dt), index, axis=2),
+                        jax.lax.dynamic_update_slice_in_dim(
+                            kv[1], v_t.astype(dt), index, axis=2)),
+            lambda kv: kv,
+            (cache["k_cls"], cache["v_cls"]))
+
+        qb = index // bs
+        j = jnp.arange(ring_len)
+        slot, offs = j // bs, j % bs
+        b_s = qb - ((qb % w - slot) % w)   # block currently in each slot
+        pos = b_s * bs + offs
+        ring_valid = (pos <= index) & (b_s >= 0)
+        cls_valid = jnp.broadcast_to(qb >= w, (bs,))
+        valid = jnp.concatenate([cls_valid, ring_valid])
+
+        k_all = jnp.concatenate([k_cls, k_ring], axis=2)
+        v_all = jnp.concatenate([v_cls, v_ring], axis=2)
+        out = dense_attention(q, k_all, v_all, valid[None, None, None, :])
+        cache = {"k_ring": k_ring, "v_ring": v_ring,
+                 "k_cls": k_cls, "v_cls": v_cls}
+        return self.output_linear(merge_heads(out)), cache
 
     def decode(self, x_t, cache, index):
         """One-token attention (x_t: [B, 1, D]) against a KV cache.
@@ -201,17 +265,18 @@ class Attention(nn.Module):
         Functional equivalent of the reference's class-level cache protocol
         (attention.py:107-168): the new k/v are written at `index`, the query
         attends over positions <= index (no causal mask needed at decode,
-        attention.py:96-97). The cache covers the full max_length; the
-        sparse models' windowed eviction becomes a window mask over the
-        cache, keeping shapes static.
+        attention.py:96-97). Dense models keep the full max_length cache;
+        sparse models use the O(window) block-ring cache (init_cache).
         """
-        b = x_t.shape[0]
         q = self.q_linear(x_t)
         q = apply_rotary(split_heads(q, self.num_heads), self.rotary_base,
                          offset=index)
         k_t = apply_rotary(split_heads(self.k_linear(x_t), self.num_heads),
                            self.rotary_base, offset=index)
         v_t = split_heads(self.v_linear(x_t), self.num_heads)
+
+        if "k_ring" in cache:
+            return self._decode_ring(q, k_t, v_t, cache, index)
 
         cache = {
             "k": jax.lax.dynamic_update_slice_in_dim(
@@ -223,8 +288,7 @@ class Attention(nn.Module):
         valid = positions <= index
         if self.sparse:
             # Block-aligned window (+ [CLS] block), matching the training
-            # mask and the reference's block-unit cache eviction
-            # (attention.py:113-134): the query's block attends blocks
+            # mask: the query's block attends blocks
             # [qb - window + 1 .. qb] plus block 0.
             qb = index // self.block_size
             kb = positions // self.block_size

@@ -98,6 +98,48 @@ def chunked_cross_entropy(
     return nll_sum, count
 
 
+def chunked_sequence_log_likelihood(
+    hidden: jax.Array,
+    project_fn: Callable[[jax.Array], jax.Array],
+    labels: jax.Array,
+    chunk_size: int = 2048,
+) -> jax.Array:
+    """Per-ROW summed log p(labels) without materializing [B, L, V] logits.
+
+    The long-document IWAE path (continuous_autoencoder.py:62-80 needs a
+    per-document log p(x|z); at 102,400 tokens x 32,768 vocab the full
+    logits are ~13 GB fp32, so the projection + gather run fused over
+    sequence chunks like chunked_cross_entropy). hidden: [B, L, D];
+    labels: [B, L] (0 = pad). Returns [B].
+    """
+    b, length, d = hidden.shape
+    num_chunks = -(-length // chunk_size)
+    padded = num_chunks * chunk_size
+    if padded != length:
+        hidden = jnp.pad(hidden, ((0, 0), (0, padded - length), (0, 0)))
+        labels = jnp.pad(labels, ((0, 0), (0, padded - length)))
+
+    @jax.checkpoint
+    def chunk_ll(h, y):
+        logits = project_fn(h).astype(jnp.float32)
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        label_logit = jnp.take_along_axis(
+            logits, y[..., None], axis=-1)[..., 0]
+        mask = (y != 0).astype(jnp.float32)
+        return jnp.sum((label_logit - lse) * mask, axis=-1)  # [B]
+
+    def body(ll, ci):
+        h = jax.lax.dynamic_slice_in_dim(hidden, ci * chunk_size,
+                                         chunk_size, axis=1)
+        y = jax.lax.dynamic_slice_in_dim(labels, ci * chunk_size,
+                                         chunk_size, axis=1)
+        return ll + chunk_ll(h, y), None
+
+    ll, _ = jax.lax.scan(body, jnp.zeros((b,), jnp.float32),
+                         jnp.arange(num_chunks))
+    return ll
+
+
 def sequence_log_likelihood(logits, labels):
     """Per-sequence summed log p(x) with pad positions zeroed.
 

@@ -49,10 +49,14 @@ def main(args):
         if is_vae:
             posterior = module.apply({"params": params}, arr["token_ids"],
                                      method=type(module).posterior)
+            # Chunked per-document log p(x|z) when the model offers it —
+            # required at pg19 scale where [B, L, 32768] logits don't fit.
+            method = getattr(type(module), "reconstruct_ll",
+                             type(module).reconstruct)
 
             def rec(z):
                 return module.apply({"params": params}, arr["token_ids"], z,
-                                    method=type(module).reconstruct)
+                                    method=method)
 
             lp = estimate_log_prob_iw(rec, posterior, arr["token_ids"],
                                       jax.random.PRNGKey(i), num_samples,

@@ -164,3 +164,26 @@ class TestAttentionModule:
             outs.append(out)
         np.testing.assert_allclose(jnp.concatenate(outs, 1), full,
                                    rtol=2e-4, atol=1e-5)
+
+    def test_sparse_ring_cache_many_wraps(self, rng):
+        """The block-ring cache (O(window) memory regardless of document
+        length, ref attention.py:113-134's eviction) must match the full
+        forward across many ring wraps and an odd window size."""
+        attn = Attention(d_model=32, num_heads=4, causal=True, sparse=True,
+                         window_size=3, block_size=4, use_pallas_kernel=False)
+        L = 57  # 14+ blocks, several wraps, non-multiple-of-block tail
+        x = jax.random.normal(rng, (2, L, 32))
+        params = attn.init(rng, x, x)
+        full = attn.apply(params, x, x)
+
+        cache = attn.apply(params, 2, L, method=Attention.init_cache)
+        # O(window): cache size is independent of max_length
+        assert cache["k_ring"].shape[2] == 3 * 4
+        assert cache["k_cls"].shape[2] == 4
+        outs = []
+        for i in range(L):
+            out, cache = attn.apply(params, x[:, i:i + 1], cache, i,
+                                    method=Attention.decode)
+            outs.append(out)
+        np.testing.assert_allclose(jnp.concatenate(outs, 1), full,
+                                   rtol=2e-4, atol=1e-5)

@@ -313,6 +313,59 @@ class TestChunkedEval:
                                    rtol=1e-5)
         assert float(a["token_count"]) == float(b["token_count"])
 
+    def test_reconstruct_ll_matches_full_logits(self, rng):
+        """The chunked per-document log p(x|z) (logits never materialized)
+        must equal the full-logits gather, pad rows included."""
+        from sparse_vae_tpu.ops.cross_entropy import sequence_log_likelihood
+
+        hp = vae_hparams(loss_chunk_size=8)
+        model = TransformerVAE(hp)
+        tokens = jnp.concatenate(
+            [jnp.ones((3, 1), jnp.int32),
+             jax.random.randint(rng, (3, 31), 3, 512)], axis=1)
+        tokens = tokens.at[1, 20:].set(0)   # ragged row
+        tokens = tokens.at[2].set(0)        # all-PAD filler row
+        params = model.init({"params": rng, "sample": rng},
+                            tokens)["params"]
+        z = jax.random.normal(rng, (3, 1, hp.latent_depth))
+        ll = model.apply({"params": params}, tokens, z,
+                         method=TransformerVAE.reconstruct_ll)
+        logits = model.apply({"params": params}, tokens, z,
+                             method=TransformerVAE.reconstruct)
+        expected = sequence_log_likelihood(logits[:, :-1], tokens[:, 1:])
+        np.testing.assert_allclose(np.asarray(ll), np.asarray(expected),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_iwae_ll_contract_matches_logits_contract(self, rng):
+        """estimate_log_prob_iw must give identical estimates through the
+        per-document log-likelihood contract (reconstruct_ll) and the
+        full-logits contract, given the same rng."""
+        from sparse_vae_tpu.models.vae import estimate_log_prob_iw
+
+        hp = vae_hparams(loss_chunk_size=8)
+        model = TransformerVAE(hp)
+        tokens = jnp.concatenate(
+            [jnp.ones((2, 1), jnp.int32),
+             jax.random.randint(rng, (2, 31), 3, 512)], axis=1)
+        params = model.init({"params": rng, "sample": rng},
+                            tokens)["params"]
+        posterior = model.apply({"params": params}, tokens,
+                                method=TransformerVAE.posterior)
+
+        def rec_logits(z):
+            return model.apply({"params": params}, tokens, z,
+                               method=TransformerVAE.reconstruct)
+
+        def rec_ll(z):
+            return model.apply({"params": params}, tokens, z,
+                               method=TransformerVAE.reconstruct_ll)
+
+        key = jax.random.PRNGKey(5)
+        a = estimate_log_prob_iw(rec_logits, posterior, tokens, key, 4, 2)
+        b = estimate_log_prob_iw(rec_ll, posterior, tokens, key, 4, 2)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
 
 class TestRematPolicies:
     @pytest.mark.parametrize("policy", ["dots", "offload"])
