@@ -6,7 +6,9 @@ import numpy as np
 import pytest
 
 from sparse_vae_tpu.models.generation import SamplingParams
-from sparse_vae_tpu.models.parallel_decode import (_mask_after_end,
+from sparse_vae_tpu.models.parallel_decode import (_chunk_repetition_penalty,
+                                                   _mask_after_end,
+                                                   _window_membership,
                                                    jacobi_decode)
 from sparse_vae_tpu.models.transformer_lm import (TransformerHparams,
                                                   TransformerLanguageModel)
@@ -30,6 +32,44 @@ def lm():
     rng = jax.random.PRNGKey(3)
     params = model.init(rng, jnp.ones((1, 16), jnp.int32))["params"]
     return model, params
+
+
+class TestRepetitionPenalty:
+    def test_membership_matches_naive(self):
+        rng = np.random.default_rng(0)
+        prev = jnp.asarray(rng.integers(0, 64, size=(3, 5, 17)))
+        member = np.asarray(_window_membership(prev, 64))
+        for b in range(3):
+            for c in range(5):
+                expected = np.isin(np.arange(64), np.asarray(prev[b, c]))
+                np.testing.assert_array_equal(member[b, c], expected)
+
+    def test_chunk_penalty_matches_scatter_reference(self):
+        """The scatter-free membership formulation must equal the reference
+        gather-modify-scatter (put_along_axis) exactly — duplicates in the
+        window included."""
+        rng = np.random.default_rng(1)
+        B, C, V, L, W = 2, 4, 96, 12, 6
+        logits = jnp.asarray(rng.normal(size=(B, C, V)).astype(np.float32))
+        tokens = jnp.asarray(rng.integers(0, V, size=(B, L)))
+        chunk_start, penalty = 3, 1.2
+
+        got = _chunk_repetition_penalty(logits, tokens, chunk_start,
+                                        penalty, W)
+
+        pos = chunk_start + np.arange(C)[:, None]
+        src = pos - W + 1 + np.arange(W)[None, :]
+        valid = src >= 0
+        src = np.clip(src, 0, L - 1)
+        prev = np.asarray(tokens)[:, src]
+        prev = np.where(valid[None], prev, 0)
+        expected = np.asarray(logits).copy()
+        for b in range(B):
+            for c in range(C):
+                for t in prev[b, c]:
+                    x = np.asarray(logits)[b, c, t]
+                    expected[b, c, t] = x * penalty if x < 0 else x / penalty
+        np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-6)
 
 
 class TestMaskAfterEnd:
