@@ -71,6 +71,35 @@ def pairwise_gaussian_kl(g: DiagonalGaussian):
     return log_sigma_ratio + 0.5 * (trace + quad - var_p.shape[-1])
 
 
+def multivariate_gaussian_cross_entropy(p: DiagonalGaussian,
+                                        q: DiagonalGaussian):
+    """[N, M] matrix of cross-entropies H(p_i, q_j) between two batches of
+    diagonal Gaussians (math_utils.py:66-73).
+
+    H(p, q) = sum_d log sigma_q + 1/2 (sum_d (var_p + (mu_p - mu_q)^2)
+    / var_q + d log 2pi). NOTE: the reference's middle term uses mu_p twice
+    (`mu_p @ (mu_p.T * inv_var_q)`, math_utils.py:71) where the cross term
+    of (mu_p - mu_q)^2 requires mu_q — and its broadcasting only admits
+    N == M. Reimplemented with the correct cross term for any N, M;
+    `pairwise_gaussian_cross_entropy(g)` equals
+    `multivariate_gaussian_cross_entropy(g, g)` (tested).
+    """
+    var_p = p.variance.reshape(p.loc.shape[0], -1)       # [N, D]
+    mu_p = p.loc.reshape(var_p.shape)
+    var_q = q.variance.reshape(q.loc.shape[0], -1)       # [M, D]
+    mu_q = q.loc.reshape(var_q.shape)
+    inv_var_q = 1.0 / var_q
+    trace_log_sigma_q = jnp.sum(
+        jnp.log(q.scale.reshape(var_q.shape)), axis=-1)  # [M]
+
+    quad = (jnp.square(mu_p) @ inv_var_q.T
+            - 2.0 * mu_p @ (mu_q * inv_var_q).T
+            + jnp.sum(jnp.square(mu_q) * inv_var_q, axis=-1)[None, :])
+    trace = var_p @ inv_var_q.T
+    d = var_p.shape[-1]
+    return trace_log_sigma_q[None, :] + 0.5 * (trace + quad + d * _LOG_2PI)
+
+
 def pairwise_gaussian_cross_entropy(g: DiagonalGaussian):
     """[B, B] matrix of H(g_i, g_j) (math_utils.py:74-84)."""
     var_p = g.variance.reshape(g.loc.shape[0], -1)
@@ -111,6 +140,40 @@ def analytic_gaussian_rbf_mmd_sq(x, standardize: bool = True):
         variance = (2 / (n * (n - 1))) * (
             first_term ** 2 + (kernel_var / (4 + kernel_var)) ** (d / 2) - ugly)
         mmd_sq = mmd_sq / variance ** 0.5
+    return mmd_sq
+
+
+def custom_gaussian_rbf_mmd_sq(x, mean, var, standardize: bool = True):
+    """Unbiased squared MMD between x's distribution and a diagonal Gaussian
+    N(mean, diag(var)) with a Gaussian RBF kernel (math_utils.py:128-153),
+    log-domain determinants for stability. With mean=0, var=1 this reduces
+    exactly to analytic_gaussian_rbf_mmd_sq (tested). var: [D] (or any shape
+    broadcastable against x's rows, like the reference).
+    """
+    n, d = x.shape
+    kernel_var = 0.125 * d
+    var = jnp.asarray(var)
+    var_sum = kernel_var + var
+
+    kernel_logvar = math.log(kernel_var)
+    cov_logdet1 = 0.5 * jnp.sum(jnp.log(var_sum), axis=-1)
+    cov_logdet2 = 0.5 * jnp.sum(jnp.log(2 * var + kernel_var), axis=-1)
+    normalizer = jnp.exp(kernel_logvar * d / 2 - cov_logdet1)
+    first_term = jnp.exp(kernel_logvar * d / 2 - cov_logdet2)
+    second_term = jnp.mean(
+        jnp.exp(-0.5 * jnp.sum(jnp.square(x - mean) / var_sum, axis=-1)))
+    third_term = jnp.mean(jnp.exp(-0.5 * _pdist_sq(x) / kernel_var))
+    mmd_sq = first_term - 2 * normalizer * second_term + third_term
+
+    if standardize:
+        cov_logdet3 = 0.5 * jnp.sum(jnp.log(3 * var + kernel_var), axis=-1)
+        cov_logdet4 = 0.5 * jnp.sum(jnp.log(4 * var + kernel_var), axis=-1)
+        ugly = jnp.exp(math.log(2) + kernel_logvar * d
+                       - cov_logdet1 - cov_logdet3)
+        variance = 2 / (n * (n - 1)) * (
+            jnp.square(first_term)
+            + jnp.exp(kernel_logvar * d / 2 - cov_logdet4) - ugly)
+        mmd_sq = mmd_sq / jnp.sqrt(variance)
     return mmd_sq
 
 

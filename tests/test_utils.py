@@ -139,6 +139,59 @@ class TestMathUtils:
         x = jax.random.normal(rng, (256, 16)) + 3.0
         assert float(analytic_gaussian_rbf_mmd_sq(x, standardize=True)) > 10.0
 
+    def test_custom_mmd_reduces_to_analytic_at_standard_normal(self, rng):
+        """custom_gaussian_rbf_mmd_sq(mean=0, var=1) must equal
+        analytic_gaussian_rbf_mmd_sq exactly (same estimator)."""
+        from sparse_vae_tpu.utils.math_utils import custom_gaussian_rbf_mmd_sq
+
+        x = jax.random.normal(rng, (128, 16))
+        for std in (False, True):
+            a = analytic_gaussian_rbf_mmd_sq(x, standardize=std)
+            b = custom_gaussian_rbf_mmd_sq(x, jnp.zeros(16), jnp.ones(16),
+                                           standardize=std)
+            np.testing.assert_allclose(float(a), float(b), rtol=1e-5,
+                                       atol=1e-6)
+
+    def test_custom_mmd_small_under_its_own_gaussian(self, rng):
+        from sparse_vae_tpu.utils.math_utils import custom_gaussian_rbf_mmd_sq
+
+        mean = jnp.arange(16.0) * 0.3
+        var = jnp.linspace(0.5, 2.0, 16)
+        x = mean + jnp.sqrt(var) * jax.random.normal(rng, (256, 16))
+        stat = custom_gaussian_rbf_mmd_sq(x, mean, var, standardize=True)
+        assert abs(float(stat)) < 4.0
+        shifted = custom_gaussian_rbf_mmd_sq(x + 3.0, mean, var,
+                                             standardize=True)
+        assert float(shifted) > 10.0
+
+    def test_two_dist_cross_entropy(self):
+        """H(p_i, q_j) matrix: diagonal of the self case equals the entropy,
+        and the self case equals pairwise_gaussian_cross_entropy."""
+        from sparse_vae_tpu.utils.math_utils import (
+            multivariate_gaussian_cross_entropy,
+            multivariate_gaussian_entropy, pairwise_gaussian_cross_entropy)
+
+        g = DiagonalGaussian(
+            jax.random.normal(jax.random.PRNGKey(4), (5, 8)),
+            jnp.exp(jax.random.normal(jax.random.PRNGKey(5), (5, 8)) * 0.2))
+        mat = multivariate_gaussian_cross_entropy(g, g)
+        np.testing.assert_allclose(np.asarray(mat),
+                                   np.asarray(pairwise_gaussian_cross_entropy(g)),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(jnp.diag(mat)),
+                                   np.asarray(multivariate_gaussian_entropy(g)),
+                                   rtol=1e-5)
+        # H(p, q) - H(p) == KL(p || q)
+        q = DiagonalGaussian(g.loc[:3] + 1.0, g.scale[:3] * 1.5)
+        hpq = multivariate_gaussian_cross_entropy(g, q)
+        assert hpq.shape == (5, 3)
+        kl = pairwise_gaussian_kl(
+            DiagonalGaussian(jnp.concatenate([g.loc, q.loc]),
+                             jnp.concatenate([g.scale, q.scale])))[:5, 5:]
+        ent = multivariate_gaussian_entropy(g)
+        np.testing.assert_allclose(np.asarray(hpq - ent[:, None]),
+                                   np.asarray(kl), rtol=1e-4, atol=1e-4)
+
     def test_reconstruction_bleu_identity(self):
         seq = list(range(5, 40))
         assert reconstruction_bleu(seq, seq) == pytest.approx(1.0)
