@@ -17,24 +17,44 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-def lstm_scan(x_proj, w_hh, b_hh, h0, c0):
+def lstm_scan(x_proj, w_hh, b_hh, h0, c0, mask=None):
     """Run an LSTM layer over a precomputed input projection.
 
     x_proj: [B, L, 4H] = x @ W_ih^T + b_ih; w_hh: [4H, H]; h0/c0: [B, H].
-    Returns (outputs [B, L, H], (h_n, c_n)).
+    mask: optional [B, L] bool — state is HELD (not evolved) at invalid
+    steps, so the final (h_n, c_n) is the state after each row's last valid
+    token even with ragged PAD tails (gate biases would otherwise keep
+    evolving the state through the padding). Returns
+    (outputs [B, L, H], (h_n, c_n)).
     """
-    def step(carry, xt):
-        h, c = carry
+    def cell(h, c, xt):
         gates = xt + h @ w_hh.T + b_hh
         i, f, g, o = jnp.split(gates, 4, axis=-1)
-        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-        h = jax.nn.sigmoid(o) * jnp.tanh(c)
-        return (h, c), h
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        return h_new, c_new
 
     # unroll: the recurrent matmul is tiny, so loop overhead dominates on
     # TPU; unrolling amortizes it without changing the math.
-    (h_n, c_n), hs = jax.lax.scan(step, (h0, c0), x_proj.swapaxes(0, 1),
-                                  unroll=8)
+    if mask is None:
+        def step(carry, xt):
+            h, c = cell(*carry, xt)
+            return (h, c), h
+
+        (h_n, c_n), hs = jax.lax.scan(step, (h0, c0),
+                                      x_proj.swapaxes(0, 1), unroll=8)
+    else:
+        def step(carry, xs):
+            xt, mt = xs
+            h_new, c_new = cell(*carry, xt)
+            keep = mt[:, None]
+            h = jnp.where(keep, h_new, carry[0])
+            c = jnp.where(keep, c_new, carry[1])
+            return (h, c), h
+
+        (h_n, c_n), hs = jax.lax.scan(
+            step, (h0, c0),
+            (x_proj.swapaxes(0, 1), mask.swapaxes(0, 1)), unroll=8)
     return hs.swapaxes(0, 1), (h_n, c_n)
 
 
@@ -91,9 +111,12 @@ class StackedRNN(nn.Module):
         return w_ih, w_hh, b_ih, b_hh
 
     @nn.compact
-    def __call__(self, x, initial_state=None, single_step: bool = False):
+    def __call__(self, x, initial_state=None, single_step: bool = False,
+                 mask=None):
         """Full-sequence scan, or one decode step when single_step=True
-        (x is then [B, E] and the return is (out [B, H], states))."""
+        (x is then [B, E] and the return is (out [B, H], states)).
+        mask: optional [B, L] (True = valid); LSTM state is held at invalid
+        steps so final states sit at each row's last valid token."""
         if single_step:
             return self._step(x, initial_state)
         b, length, _ = x.shape
@@ -112,7 +135,8 @@ class StackedRNN(nn.Module):
                 init = jnp.zeros((b, self.hidden_size), x.dtype)
 
             if self.rnn_type == "LSTM":
-                x, state = lstm_scan(x_proj, w_hh, b_hh, init[0], init[1])
+                x, state = lstm_scan(x_proj, w_hh, b_hh, init[0], init[1],
+                                     mask=mask)
             else:
                 x, state = gru_scan(x_proj, w_hh, b_hh, init)
             states.append(state)
@@ -153,15 +177,28 @@ class BiLSTMEncoder(nn.Module):
     def __call__(self, x, mask=None, c0=None):
         """x: [B, L, E]; mask: [B, L] bool (True = valid). Returns [B, H*dirs].
 
-        With a mask, the forward pass reads the sequence as-is (PAD tail
-        contributes via zeros-masking of inputs) and the backward pass reads
-        the reversed *valid* prefix."""
+        With a mask, the forward pass reads each row's valid prefix (state
+        held through the PAD tail, so the final h sits at the last real
+        token) and the backward pass reads the per-row REVERSED valid prefix
+        (gathered per row, not a whole-buffer flip — a flip would feed the
+        PAD tail through the gates before the real tokens)."""
         directions = 2 if self.bidirectional else 1
+        L = x.shape[1]
         if mask is not None:
             x = x * mask[..., None].astype(x.dtype)
+            lengths = jnp.sum(mask.astype(jnp.int32), axis=1)       # [B]
         finals = []
         for d in range(directions):
-            xd = jnp.flip(x, axis=1) if d == 1 else x
+            if d == 0:
+                xd = x
+            elif mask is None:
+                xd = jnp.flip(x, axis=1)
+            else:
+                # Row r reversed-prefix: position t reads token n_r - 1 - t.
+                idx = lengths[:, None] - 1 - jnp.arange(L)[None, :]  # [B, L]
+                xd = jnp.take_along_axis(
+                    x, jnp.clip(idx, 0, L - 1)[..., None], axis=1)
+                xd = jnp.where((idx >= 0)[..., None], xd, 0.0)
             rnn = StackedRNN(hidden_size=self.hidden_size,
                              num_layers=self.num_layers, rnn_type="LSTM",
                              name=f"dir_{d}")
@@ -171,6 +208,8 @@ class BiLSTMEncoder(nn.Module):
                 init = [(jnp.tanh(c), c)] * self.num_layers
             else:
                 init = None
-            _, states = rnn(xd, init)
+            # The reversed valid prefix occupies positions [0, n) like the
+            # forward input, so the same mask freezes the PAD tail.
+            _, states = rnn(xd, init, mask=mask)
             finals.append(states[-1][0])  # final h of last layer
         return jnp.concatenate(finals, axis=-1)
