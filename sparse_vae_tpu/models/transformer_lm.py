@@ -98,6 +98,19 @@ class TransformerLanguageModel(nn.Module):
             for i in range(hp.num_layers)
         ]
 
+        # Context embedding for the cross-attention path. The reference
+        # declared cross_attention + separate_context_embedding hparams
+        # (transformer_language_model.py:28-30) but its context forward
+        # raised NotImplementedError (:83); here it works: a context token
+        # sequence is embedded (own table, or the shared input embedding)
+        # and every layer cross-attends to it.
+        if hp.cross_attention and hp.separate_context_embedding:
+            self.context_embedding = nn.Embed(
+                hp.vocab_size, hp.d_model,
+                embedding_init=embed_init(hp.init_scale))
+        else:
+            self.context_embedding = None
+
         # Output head: Dense -> GELU -> LN -> logits (tied) (:55-63)
         self.head_dense = nn.Dense(
             hp.d_model, kernel_init=dense_kernel_init(hp.init_scale),
@@ -190,17 +203,34 @@ class TransformerLanguageModel(nn.Module):
             hidden, self.project, labels, self.hparams.loss_chunk_size
             or 2048)
 
-    def forward_hidden(self, token_ids, deterministic: bool = True):
+    def embed_context(self, context_ids, deterministic: bool = True):
+        """[B, Lc] context tokens -> [B, Lc, D] for cross-attention."""
+        if self.context_embedding is not None:
+            return self.context_embedding(context_ids).astype(self.dtype)
+        return self.embed(context_ids, deterministic)
+
+    def forward_hidden(self, token_ids, deterministic: bool = True,
+                       context_ids=None):
         """Decoder stack output before the logits head — the chunked-CE
-        entry point for long documents."""
+        entry point for long documents. context_ids: optional [B, Lc]
+        context tokens each layer cross-attends to (requires
+        cross_attention=True)."""
         x = self.embed(token_ids, deterministic)
         mask = token_ids != 0
+        context, context_mask = None, None
+        if context_ids is not None:
+            if not self.hparams.cross_attention:
+                raise ValueError("context requires cross_attention=True")
+            context = self.embed_context(context_ids, deterministic)
+            context_mask = context_ids != 0
         for layer in self.decoder_layers:
-            x = layer(x, None, mask, None, deterministic)
+            x = layer(x, context, mask, context_mask, deterministic)
         return x
 
-    def __call__(self, token_ids, deterministic: bool = True):
-        return self.project(self.forward_hidden(token_ids, deterministic))
+    def __call__(self, token_ids, deterministic: bool = True,
+                 context_ids=None):
+        return self.project(self.forward_hidden(token_ids, deterministic,
+                                                context_ids))
 
     # -- sampling -----------------------------------------------------------
     def init_caches(self, batch_size: int, max_length: int):

@@ -112,6 +112,13 @@ class CheckpointManager:
         self._ckptr.close()
 
 
+def load_run_meta(experiment: str, name: str,
+                  root: Optional[Path] = None) -> Optional[Dict[str, Any]]:
+    """The run's saved hparams (meta.json), or None when absent."""
+    meta_file = checkpoints_dir(experiment, name, root) / "meta.json"
+    return json.loads(meta_file.read_text()) if meta_file.exists() else None
+
+
 def restore_checkpoint(path: Path, state_template: Dict[str, Any]):
     """Restore a specific checkpoint directory (eval-script entry point,
     the `load_from_checkpoint` equivalent)."""

@@ -271,6 +271,44 @@ class TestGenericTransformer:
         assert "output_embedding" not in params["params"]
 
 
+class TestCrossAttentionContext:
+    def test_context_conditions_the_forward(self, rng):
+        """cross_attention=True + context_ids must actually condition the
+        output (the reference declared this path but raised
+        NotImplementedError, transformer_language_model.py:83)."""
+        hp = lm_hparams(cross_attention=True)
+        model = TransformerLanguageModel(hp)
+        tokens = jax.random.randint(rng, (2, 16), 3, 512)
+        ctx_a = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 3, 512)
+        ctx_b = jax.random.randint(jax.random.PRNGKey(2), (2, 8), 3, 512)
+        params = model.init(rng, tokens, True, ctx_a)["params"]
+
+        out_a = model.apply({"params": params}, tokens, True, ctx_a)
+        out_b = model.apply({"params": params}, tokens, True, ctx_b)
+        out_none = model.apply({"params": params}, tokens, True, None)
+        assert not np.allclose(np.asarray(out_a), np.asarray(out_b))
+        assert not np.allclose(np.asarray(out_a), np.asarray(out_none))
+        assert out_a.shape == (2, 16, 512)
+
+    def test_context_without_cross_attention_raises(self, rng):
+        hp = lm_hparams(cross_attention=False)
+        model = TransformerLanguageModel(hp)
+        tokens = jax.random.randint(rng, (1, 8), 3, 512)
+        params = model.init(rng, tokens)["params"]
+        with pytest.raises(ValueError, match="cross_attention"):
+            model.apply({"params": params}, tokens, True, tokens)
+
+    def test_shared_context_embedding_option(self, rng):
+        hp = lm_hparams(cross_attention=True,
+                        separate_context_embedding=False)
+        model = TransformerLanguageModel(hp)
+        tokens = jax.random.randint(rng, (1, 8), 3, 512)
+        params = model.init(rng, tokens, True, tokens)["params"]
+        assert "context_embedding" not in params
+        out = model.apply({"params": params}, tokens, True, tokens)
+        assert out.shape == (1, 8, 512)
+
+
 class TestChunkedEval:
     def test_ar_chunked_eval_matches_dense(self, rng):
         """ARObjective's fused-chunked eval must equal the dense-logits path

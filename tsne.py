@@ -1,11 +1,15 @@
 #!/usr/bin/env python
 """t-SNE visualization of gathered latents: ``python tsne.py <model>
-<run-name>``.
+<run-name> [data.k=v ...]``.
 
 Counterpart of /root/reference/tsne.py: fits a t-SNE embedding of the
 posterior means (sklearn; the reference preferred tsnecuda on GPU), scatters
-a 1,000-point subset to sparse-vae-tsne.png, and optionally fits an LDA
-topic model for coloring when gensim is available (:16-63).
+a 1,000-point subset to sparse-vae-tsne.png, then fits an LDA topic model
+over the tokenized corpus and re-plots the points colored by each
+document's dominant topic. The reference's LDA path (tsne.py:38-63)
+required gensim and stopped at fitting+saving the model without ever
+applying the colors; this build uses sklearn's LatentDirichletAllocation
+(always available here) and completes the coloring.
 """
 import sys
 from pathlib import Path
@@ -20,6 +24,7 @@ def main(args):
     from datasets import Dataset
     dataset = Dataset.load_from_disk(str(save_path))
     latents = np.asarray(dataset["latent"], dtype=np.float32)
+    titles = list(dataset["title"]) if "title" in dataset.column_names else []
 
     try:
         from sklearn.manifold import TSNE
@@ -40,16 +45,65 @@ def main(args):
     plt.savefig("sparse-vae-tsne.png")
     print("Saved sparse-vae-tsne.png")
 
-    try:
-        from gensim.corpora import Dictionary  # noqa: F401
-        from gensim.models.ldamulticore import LdaMulticore  # noqa: F401
-    except ImportError:
-        print("Gensim isn't available, so we can't fit an LDA model to "
-              "color the t-SNE plot")
+    topics = fit_lda_topics(experiment, name, titles, args[3:])
+    if topics is None:
         return
-    # LDA coloring path mirrors the reference (tsne.py:38-63); it requires
-    # the tokenized corpus, which gather_latents-style scripts rebuild.
-    print("LDA coloring not run (corpus pass omitted in this build).")
+    plt.figure()
+    plt.scatter(embeddings[subset, 0], embeddings[subset, 1], s=4,
+                c=topics[subset], cmap="tab10")
+    plt.savefig("sparse-vae-tsne-lda.png")
+    print("Saved sparse-vae-tsne-lda.png (colored by LDA topic)")
+
+
+def fit_lda_topics(experiment, name, titles, data_dotlist,
+                   num_topics: int = 10):
+    """Per-latent dominant LDA topic ids, or None when unavailable.
+
+    Rebuilds the tokenized corpus (the reference re-ran
+    TextDataModule.prepare_data for its LDA pass, tsne.py:45-47), fits
+    sklearn LDA on bag-of-token-ids counts, and maps each gathered latent to
+    its document's argmax topic via the shared titles."""
+    try:
+        from scipy.sparse import csr_matrix
+        from sklearn.decomposition import LatentDirichletAllocation
+    except ImportError:
+        print("sklearn/scipy aren't available, so we can't fit an LDA "
+              "model to color the t-SNE plot")
+        return None
+
+    from sparse_vae_tpu.cli import assemble_config, build_data
+    from sparse_vae_tpu.training.checkpointing import load_run_meta
+    cfg = assemble_config(experiment, list(data_dotlist))
+    meta = load_run_meta(experiment, name)
+    if not data_dotlist and meta and meta.get("data_hparams"):
+        cfg.data = type(cfg.data)(**meta["data_hparams"])
+    dm = build_data(cfg)
+
+    docs, doc_titles = [], []
+    for split in ("train", "test"):
+        corpus = dm.splits[split]
+        docs.extend(corpus.docs)
+        doc_titles.extend(corpus.titles or
+                          [f"{split}-{i}" for i in range(len(corpus))])
+
+    print(f"Fitting LDA ({num_topics} topics) on {len(docs)} documents...")
+    indptr, indices, values = [0], [], []
+    for doc in docs:
+        toks, counts = np.unique(np.asarray(doc, dtype=np.int64),
+                                 return_counts=True)
+        indices.extend(toks)
+        values.extend(counts)
+        indptr.append(len(indices))
+    bow = csr_matrix((values, indices, indptr),
+                     shape=(len(docs), dm.hparams.vocab_size))
+    lda = LatentDirichletAllocation(n_components=num_topics, max_iter=10,
+                                    learning_method="online", batch_size=512,
+                                    random_state=0)
+    doc_topics = np.argmax(lda.fit_transform(bow), axis=-1)
+    print("LDA perplexity:", round(float(lda.perplexity(bow)), 1))
+
+    by_title = dict(zip(doc_titles, doc_topics))
+    return np.array([by_title.get(t, 0) for t in titles], dtype=np.int64)
 
 
 if __name__ == "__main__":
