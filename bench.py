@@ -86,11 +86,20 @@ def bench_generate(args):
         # Latency regime (small batch): the setting where parallel decoding
         # pays. At large batch the AR while_loop is already compute-bound
         # and the comparison reduces to sequential-pass count (reported).
-        b, L = 4, 512
+        # Long documents (--seq >= 2048, 128-multiple) run the sparse
+        # sliding-window path — each Jacobi pass costs O(L * window) there,
+        # while the AR loop pays L sequential steps against the block-ring
+        # cache. e.g.: bench.py --mode generate --batch 1 --seq 8192
+        b, L = args.batch, args.seq
+        if args.mode == "generate" and args.seq == 12800:
+            b, L = 4, 512  # the train default doesn't apply to generate
+        sparse = L >= 2048 and L % 128 == 0
         hp = TransformerVAEHparams(
             d_model=512, num_heads=8, num_layers=6, latent_depth=64,
             vocab_size=2 ** 15, num_encoder_latents=64,
-            sparse_self_attention=False, use_pallas_kernel=False,
+            sparse_self_attention=sparse, attn_window_size=2,
+            attn_block_size=128,
+            use_pallas_kernel=bool(sparse and args.pallas),
             precision="bf16")
 
     model = TransformerVAE(hp)

@@ -56,12 +56,24 @@ def build_model(experiment: str, model_hparams_overrides=None):
     return module, hparams, objective
 
 
-def load_checkpoint_for_name(experiment: str, name: str, root=None):
-    """Restore the newest checkpoint of a run: returns (module, hparams,
-    objective, state dict) (ref __init__.py:27-44)."""
+def load_checkpoint_for_name(experiment: str, name: str, root=None,
+                             step=None):
+    """Restore a run's checkpoint: returns (module, hparams, objective,
+    state dict, meta) (ref __init__.py:27-44). step: None -> newest,
+    'best' -> the best-val checkpoint, int -> that step."""
     import jax
 
     path = get_checkpoint_path_for_name(experiment, name, root)
+    if step == "best":
+        from .training.checkpointing import checkpoints_dir
+        import json as _json
+        best_file = checkpoints_dir(experiment, name, root) / "best.json"
+        if best_file.exists():
+            step = _json.loads(best_file.read_text()).get("step")
+        else:
+            step = None
+    if step is not None:
+        path = path.parent / f"step_{int(step)}"
     import json
     meta = json.loads((path.parent / "meta.json").read_text())
     module, hparams, objective = build_model(experiment,

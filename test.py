@@ -22,6 +22,7 @@ def main(args):
     num_samples = int(extra.pop("num_samples", 100))
     default_iter = 100 if experiment == "transformer-vae" else 20
     num_iter = int(extra.pop("num_iter", default_iter))
+    step = extra.pop("step", None)  # None -> newest; 'best'; or a step int
 
     from sparse_vae_tpu import load_checkpoint_for_name
     from sparse_vae_tpu.cli import assemble_config, build_data
@@ -29,7 +30,7 @@ def main(args):
     from sparse_vae_tpu.training.objectives import batch_arrays
 
     module, hparams, objective, state, meta = load_checkpoint_for_name(
-        experiment, name)
+        experiment, name, step=step)
     params = state["params"]
 
     data_dot = [f"data.{k.removeprefix('data.')}={v}"
