@@ -147,14 +147,25 @@ def final_output(state: DecodeState) -> jax.Array:
 
 
 def decode_loop(state: DecodeState, logits_fn, carry, params: SamplingParams,
-                end_token: int):
+                end_token: int, max_steps=None):
     """Generic AR decode: runs `logits_fn(state, carry) -> (logits, carry)`
     under lax.while_loop until every sample has emitted `end_token` or the
     buffer is full. The entire loop is one device computation — the TPU
     replacement for the reference's Python token-at-a-time loop
-    (transformer_vae.py:109-125)."""
+    (transformer_vae.py:109-125).
+
+    max_steps bounds THIS call to at most that many tokens, leaving the
+    returned (state, carry) resumable by calling again: very long documents
+    (pg19's 102,400 tokens) decode as a host loop of bounded device
+    executions, which tunneled/preemptible TPU runtimes require."""
+    if max_steps is not None:
+        stop = state.index + max_steps
+
     def cond(loop):
-        return should_continue(loop[0])
+        ok = should_continue(loop[0])
+        if max_steps is not None:
+            ok = ok & (loop[0].index < stop)
+        return ok
 
     def body(loop):
         st, cr = loop

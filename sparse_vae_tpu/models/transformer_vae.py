@@ -142,6 +142,35 @@ class TransformerVAE(TransformerLanguageModel):
         state, _ = decode_loop(state, logits_fn, caches, sampling, end_token)
         return final_output(state)
 
+    def sample_resumable(self, rng, max_length: int, batch_size: int = 1,
+                         z=None, sampling: SamplingParams = SamplingParams(),
+                         start_token: int = 1, end_token: int = 2,
+                         state=None, caches=None, max_steps=None):
+        """Bounded-slice AR sampling for very long documents (the pg19
+        preset's 102,400 tokens): decodes at most `max_steps` tokens and
+        returns (state, caches) to pass back in. Given the same z and the
+        returned state/caches, slicing is exactly equivalent to one-shot
+        `sample` (tested). Memory stays O(window) via the block-ring KV
+        cache. z is REQUIRED across resumed calls (pass the first call's)."""
+        if z is None:
+            z = jax.random.normal(
+                jax.random.split(rng)[0],
+                (batch_size, 1, self.hparams.latent_depth))
+        if state is None:
+            state = init_decode_state(batch_size, max_length, start_token,
+                                      jax.random.split(rng)[1])
+        if caches is None:
+            caches = self.init_caches(batch_size, max_length)
+
+        def logits_fn(st: DecodeState, caches):
+            logits, caches = self.decode_step_z(
+                prev_tokens(st), caches, st.index - 1, z)
+            return logits.astype(jnp.float32), caches
+
+        state, caches = decode_loop(state, logits_fn, caches, sampling,
+                                    end_token, max_steps=max_steps)
+        return state, caches, z
+
     def parallel_generate(self, rng, length: int, batch_size: int = 1,
                           z=None, sampling: SamplingParams = SamplingParams(),
                           start_token: int = 1, end_token: int = 2,

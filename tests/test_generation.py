@@ -152,3 +152,41 @@ class TestTopPBisection:
         arg = np.asarray(jnp.argmax(logits, -1))
         for r in range(8):
             assert np.isfinite(out[r, arg[r]])
+
+
+class TestResumableSampling:
+    def test_sliced_resumable_equals_one_shot(self):
+        """sample_resumable driven in bounded slices must produce exactly
+        the one-shot sample() output (the host-loop decode mode for pg19-
+        length documents, where one device execution can't run 102k steps)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from sparse_vae_tpu.models.transformer_vae import (
+            TransformerVAE, TransformerVAEHparams)
+        from sparse_vae_tpu.models.generation import final_output
+
+        hp = TransformerVAEHparams(
+            d_model=32, num_heads=4, num_layers=2, latent_depth=8,
+            vocab_size=128, num_encoder_latents=4,
+            sparse_self_attention=True, attn_window_size=2,
+            attn_block_size=8, use_pallas_kernel=False)
+        model = TransformerVAE(hp)
+        rng = jax.random.PRNGKey(0)
+        params = model.init({"params": rng, "sample": rng},
+                            jnp.ones((1, 16), jnp.int32))["params"]
+
+        key = jax.random.PRNGKey(9)
+        L, B = 48, 2
+        one_shot = model.apply({"params": params}, key, L, B,
+                               method=TransformerVAE.sample)
+
+        state = caches = z = None
+        for _ in range(0, L, 10):
+            state, caches, z = model.apply(
+                {"params": params}, key, L, B, z,
+                method=TransformerVAE.sample_resumable,
+                state=state, caches=caches, max_steps=10)
+        np.testing.assert_array_equal(np.asarray(final_output(state)),
+                                      np.asarray(one_shot))
