@@ -162,6 +162,94 @@ def bench_generate(args):
           file=sys.stderr)
 
 
+def bench_longdoc(args):
+    """pg19-regime demonstration: AR-sample a 102,400-token document through
+    the O(window) block-ring KV cache (bounded resumable device slices), and
+    run the IWAE estimator at full length through the chunked per-document
+    log-likelihood — neither is feasible with a full-length cache or
+    materialized [K, B, L, 32768] logits."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from sparse_vae_tpu.models.generation import SamplingParams
+    from sparse_vae_tpu.models.transformer_vae import (TransformerVAE,
+                                                       TransformerVAEHparams)
+    from sparse_vae_tpu.models.vae import estimate_log_prob_iw
+
+    L = args.seq if args.seq != 12800 else 102_400
+    if args.smoke:
+        L = 2048
+    hp = TransformerVAEHparams(
+        d_model=512, num_heads=8, num_layers=6, latent_depth=64,
+        vocab_size=2 ** 15, num_encoder_latents=64,
+        sparse_self_attention=True, attn_window_size=2, attn_block_size=128,
+        use_pallas_kernel=args.pallas and not args.smoke,
+        loss_chunk_size=2048, precision="bf16")
+    model = TransformerVAE(hp)
+    rng = jax.random.PRNGKey(0)
+    params = model.init({"params": rng, "sample": rng},
+                        jnp.ones((1, 256), jnp.int32))["params"]
+    sampling = SamplingParams()
+
+    SLICE = min(8192, max(1, (L - 1) // 4))  # bounded device execution
+    # (the tunneled worker kills executions that run much over a minute)
+
+    @functools.partial(jax.jit, static_argnames=("max_steps",))
+    def sample_slice(params, rng, z, state, caches, max_steps):
+        # end_token=-1: never emitted, so the benchmark always decodes the
+        # full document length (untrained logits would hit [SEP] by chance).
+        return model.apply({"params": params}, rng, L, 1, z,
+                           method=model.sample_resumable,
+                           state=state, caches=caches, max_steps=max_steps,
+                           end_token=-1)
+
+    z = jax.random.normal(rng, (1, 1, hp.latent_depth))
+    state, caches, _ = sample_slice(params, jax.random.PRNGKey(1), z,
+                                    None, None, SLICE)  # compile+first slice
+    jax.device_get(state.index)
+    t0 = time.time()
+    done = SLICE
+    while done < L - 1:
+        state, caches, _ = sample_slice(params, jax.random.PRNGKey(1), z,
+                                        state, caches, SLICE)
+        done += SLICE
+    timed_tokens = int(jax.device_get(state.index)) - 1 - SLICE
+    ar_s = time.time() - t0
+    ar_tps = max(timed_tokens, 1) / max(ar_s, 1e-9)
+
+    # IWAE at full length through the chunked reconstruct_ll path.
+    tokens = jax.random.randint(rng, (1, L), 3, hp.vocab_size)
+    tokens = tokens.at[:, 0].set(1)
+
+    @jax.jit
+    def iwae(params, tokens, key):
+        posterior = model.apply({"params": params}, tokens,
+                                method=model.posterior)
+
+        def rec_ll(zk):
+            return model.apply({"params": params}, tokens, zk,
+                               method=model.reconstruct_ll)
+
+        return estimate_log_prob_iw(rec_ll, posterior, tokens, key,
+                                    num_samples=4, num_iter=4)
+
+    lp = float(jax.device_get(iwae(params, tokens,
+                                   jax.random.PRNGKey(2)))[0])  # compile
+    t0 = time.time()
+    lp = float(jax.device_get(iwae(params, tokens, jax.random.PRNGKey(3)))[0])
+    iwae_s = time.time() - t0
+
+    print(json.dumps({
+        "metric": "longdoc_ar_sample_tokens_per_sec", "value": round(ar_tps, 1),
+        "unit": f"tokens/s at L={L} (ring KV cache)",
+        "vs_baseline": round(ar_tps / 1000.0, 3)}))
+    print(f"# L={L} ar={ar_s:.1f}s ({1000 * ar_s / max(L - 1 - SLICE, 1):.2f} "
+          f"ms/token) iwae_4samples={iwae_s:.1f}s log_p={lp:.1f} "
+          f"backend={jax.default_backend()}", file=sys.stderr)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true")
@@ -175,10 +263,11 @@ def main():
                         choices=["full", "dots", "offload"])
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--seq", type=int, default=12800)
-    parser.add_argument("--mode", choices=["train", "generate"],
+    parser.add_argument("--mode", choices=["train", "generate", "longdoc"],
                         default="train",
                         help="generate: Jacobi parallel decode vs the AR "
-                             "while_loop, wall-clock on device")
+                             "while_loop; longdoc: 102,400-token AR sample "
+                             "(ring KV cache) + chunked IWAE at full length")
     parser.add_argument("--_inner", action="store_true",
                         help=argparse.SUPPRESS)
     args = parser.parse_args()
@@ -193,6 +282,8 @@ def main():
 
     if args.mode == "generate":
         return bench_generate(args)
+    if args.mode == "longdoc":
+        return bench_longdoc(args)
 
     import jax.numpy as jnp
     import optax
