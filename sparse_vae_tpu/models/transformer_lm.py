@@ -179,6 +179,15 @@ class TransformerLanguageModel(nn.Module):
         return chunked_cross_entropy(hidden, self.project, labels,
                                      hp.loss_chunk_size or 2048)
 
+    @staticmethod
+    def shifted_labels(token_ids):
+        """Next-token labels aligned with the FULL-length hidden states:
+        position t's label is token t+1, with [PAD]=0 at the last position
+        (masked by every loss here). Passing full-length hidden + these
+        labels avoids the h[:, :-1] slice, which XLA materializes as a copy
+        of the whole [B, L, D] tensor at the remat boundary."""
+        return jnp.pad(token_ids[:, 1:], ((0, 0), (0, 1)))
+
     def sequence_ll_rows(self, hidden, labels):
         """Per-row summed log p(labels | hidden) over non-pad labels, logits
         never fully materialized — the per-document statistic the IWAE /

@@ -88,7 +88,7 @@ class TransformerVAE(TransformerLanguageModel):
         logits never fully materialized — the long-document path for the
         IWAE / DReG estimators (test.py runs the pg19 preset through this)."""
         h = self.reconstruct_hidden(token_ids, z, deterministic)
-        return self.sequence_ll_rows(h[:, :-1], token_ids[:, 1:])
+        return self.sequence_ll_rows(h, self.shifted_labels(token_ids))
 
     # -- training forward (VAEObjective contract) ---------------------------
     def __call__(self, token_ids, deterministic: bool = True):
@@ -105,7 +105,7 @@ class TransformerVAE(TransformerLanguageModel):
                                deterministic=deterministic)
         z = q.sample(self.make_rng("sample"))
         h = self.reconstruct_hidden(token_ids, z, deterministic)
-        nll_sum, count = self.sequence_nll(h[:, :-1], token_ids[:, 1:])
+        nll_sum, count = self.sequence_nll(h, self.shifted_labels(token_ids))
         return nll_sum, count, kl, q, z
 
     # -- sampling -----------------------------------------------------------

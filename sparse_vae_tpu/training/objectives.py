@@ -44,8 +44,10 @@ class ARObjective:
         hidden = module.apply({"params": params}, batch["token_ids"],
                               rngs=rngs, deterministic=rng is None,
                               method=type(module).forward_hidden)
-        return module.apply({"params": params}, hidden[:, :-1],
-                            batch["token_ids"][:, 1:],
+        # Full-length hidden + end-padded shifted labels: avoids slicing
+        # (= copying) the whole [B, L, D] tensor (see shifted_labels).
+        labels = type(module).shifted_labels(batch["token_ids"])
+        return module.apply({"params": params}, hidden, labels,
                             method=type(module).sequence_nll)
 
     def loss_sums(self, module, params, batch, step, rng
