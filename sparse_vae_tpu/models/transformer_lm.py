@@ -270,6 +270,27 @@ class TransformerLanguageModel(nn.Module):
         state, _ = decode_loop(state, logits_fn, caches, sampling, end_token)
         return final_output(state)
 
+    def sample_resumable(self, rng, max_length: int, batch_size: int = 1,
+                         sampling: SamplingParams = SamplingParams(),
+                         start_token: int = 1, end_token: int = 2,
+                         state=None, caches=None, max_steps=None):
+        """Bounded-slice AR sampling (see TransformerVAE.sample_resumable):
+        decode at most max_steps tokens per device execution and pass the
+        returned (state, caches) back in to continue."""
+        if state is None:
+            state = init_decode_state(batch_size, max_length, start_token,
+                                      rng)
+        if caches is None:
+            caches = self.init_caches(batch_size, max_length)
+
+        def logits_fn(st: DecodeState, caches):
+            logits, caches = self.decode_step(
+                prev_tokens(st), caches, st.index - 1)
+            return logits.astype(jnp.float32), caches
+
+        return decode_loop(state, logits_fn, caches, sampling, end_token,
+                           max_steps=max_steps)
+
     def parallel_generate(self, rng, length: int, batch_size: int = 1,
                           sampling: SamplingParams = SamplingParams(),
                           start_token: int = 1, end_token: int = 2,

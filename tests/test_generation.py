@@ -190,3 +190,31 @@ class TestResumableSampling:
                 state=state, caches=caches, max_steps=10)
         np.testing.assert_array_equal(np.asarray(final_output(state)),
                                       np.asarray(one_shot))
+
+    def test_lm_sliced_resumable_equals_one_shot(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from sparse_vae_tpu.models.transformer_lm import (
+            TransformerHparams, TransformerLanguageModel)
+        from sparse_vae_tpu.models.generation import final_output
+
+        hp = TransformerHparams(d_model=32, num_heads=4, num_layers=2,
+                                vocab_size=128, sparse_self_attention=False,
+                                use_pallas_kernel=False)
+        model = TransformerLanguageModel(hp)
+        rng = jax.random.PRNGKey(0)
+        params = model.init(rng, jnp.ones((1, 16), jnp.int32))["params"]
+
+        key = jax.random.PRNGKey(4)
+        one_shot = model.apply({"params": params}, key, 32, 2,
+                               method=TransformerLanguageModel.sample)
+        state = caches = None
+        for _ in range(0, 32, 8):
+            state, caches = model.apply(
+                {"params": params}, key, 32, 2,
+                method=TransformerLanguageModel.sample_resumable,
+                state=state, caches=caches, max_steps=8)
+        np.testing.assert_array_equal(np.asarray(final_output(state)),
+                                      np.asarray(one_shot))
