@@ -66,9 +66,12 @@ def main(args):
                 arr["num_tokens"])[real]
             nll = float(per_tok.mean())
         else:
-            from sparse_vae_tpu.ops.cross_entropy import token_nll
-            logits = module.apply({"params": params}, arr["token_ids"])
-            nll = float(token_nll(logits[:, :-1], arr["token_ids"][:, 1:]))
+            # Chunked eval (fused projection+CE when available) — full
+            # [B, L, 32768] logits don't fit at 50k-token eval batches.
+            stats = objective.eval_stats(module, params, arr,
+                                         jax.random.PRNGKey(i))
+            nll = float(stats["nll_sum"]) / max(float(stats["token_count"]),
+                                                1.0)
         losses.append(nll)
         print(f"batch {i}: last={nll:.4f} avg={sum(losses)/len(losses):.4f}")
 
