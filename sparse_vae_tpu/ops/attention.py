@@ -138,55 +138,40 @@ class Attention(nn.Module):
         return float(self.max_length)
 
     def _project(self, x_q, x_kv, pos_offset=0):
-        """(q, k, v) in head-major [B, H, L, Dh] form — built once; a
-        merge_heads/split_heads round-trip here used to cost a layout copy
-        of every tensor per layer (profiled at ~0.5 ms each on v5e)."""
         if self.learned_queries:
             q = jnp.broadcast_to(
                 self.learned_query_bank.astype(self.dtype),
                 (x_kv.shape[0], self.learned_queries, self.d_model))
-            q = split_heads(q, self.num_heads)
         else:
-            q = split_heads(self.q_linear(x_q), self.num_heads)
+            q = self.q_linear(x_q)
+            q = split_heads(q, self.num_heads)
             q = apply_rotary(q, self.rotary_base, offset=pos_offset)
-        k = apply_rotary(split_heads(self.k_linear(x_kv), self.num_heads),
-                         self.rotary_base)
-        v = split_heads(self.v_linear(x_kv), self.num_heads)
+            q = merge_heads(q)
+        k = self.k_linear(x_kv)
+        k = merge_heads(apply_rotary(split_heads(k, self.num_heads),
+                                     self.rotary_base))
+        v = self.v_linear(x_kv)
         return q, k, v
 
     def __call__(self, x_q, x_kv, kv_mask=None):
         """Full-sequence attention. x_q: [B, Lq, D] (ignored when
         learned_queries), x_kv: [B, Lk, D], kv_mask: [B, Lk] bool
         (True = valid key position)."""
-        if (self.sparse and self.learned_queries is None
-                and x_kv.shape[1] % self.block_size == 0
-                and (x_q is x_kv or x_q.shape[1] == x_kv.shape[1])):
-            # Blocked sparse path, PACKED layout end-to-end: projections
-            # stay [B, L, H*Dh] (rotary applied with head-tiled angles), the
-            # kernel reads head slices via its index maps, and the result
-            # reshapes straight into the output projection. Head-major
-            # operands would cost a materialized transpose copy around the
-            # Pallas custom call per tensor per layer (profiled ~45 ms/step
-            # at the bench config).
-            from .rotary import apply_rotary_packed
-            from .sliding_window_attention import sliding_window_attention
-            b, L, _ = x_kv.shape
-            h, dh = self.num_heads, self.d_model // self.num_heads
-            q = apply_rotary_packed(self.q_linear(x_q), h, self.rotary_base)
-            k = apply_rotary_packed(self.k_linear(x_kv), h, self.rotary_base)
-            v = self.v_linear(x_kv)
-            out = sliding_window_attention(
-                q.reshape(b, L, h, dh), k.reshape(b, L, h, dh),
-                v.reshape(b, L, h, dh), kv_mask,
-                window_size=self.window_size, block_size=self.block_size,
-                causal=self.causal, force_xla=not self.use_pallas_kernel,
-                packed=True)
-            return self.output_linear(out.reshape(b, L, self.d_model))
-
         q, k, v = self._project(x_q, x_kv)
+        q, k, v = (split_heads(t, self.num_heads) for t in (q, k, v))
         lq, lk = q.shape[-2], k.shape[-2]
 
         if self.sparse and self.learned_queries is None:
+            if lq == lk and lq % self.block_size == 0:
+                # Blocked sparse path: Pallas kernel on TPU (unless
+                # disabled), O(L*window) blocked-XLA otherwise. The dense
+                # masked fallback below is only for unaligned shapes.
+                from .sliding_window_attention import sliding_window_attention
+                out = sliding_window_attention(
+                    q, k, v, kv_mask, window_size=self.window_size,
+                    block_size=self.block_size, causal=self.causal,
+                    force_xla=not self.use_pallas_kernel)
+                return self.output_linear(merge_heads(out))
             mask = sliding_window_token_mask(
                 lq, lk, self.block_size, self.window_size, self.causal)
             mask = mask[None, None]

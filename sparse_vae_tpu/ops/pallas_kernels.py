@@ -23,13 +23,6 @@ covering every head). Padding enters as per-row valid lengths via scalar
 prefetch (SMEM) — the batcher only right-pads, so a prefix length is the
 whole mask.
 
-Layout: every tensor is PACKED [B, L, H, D] — a free reshape of the
-attention projections' [B, L, H*D] output — and tiles are swapped to
-head-major inside the kernel (a VMEM relayout). With head-major [B, H, L, D]
-operands, XLA materialized a ~0.5 ms HBM transpose copy around every kernel
-operand/result (profiled ~45 ms/step total at the bench config), because
-custom calls pin default layouts.
-
 Backward: standard flash-attention recomputation — the forward additionally
 emits the per-row log-sum-exp, the backward recomputes p = exp(s - lse) per
 tile and accumulates dq over a query block's key slots, and dk/dv over a
@@ -111,7 +104,7 @@ def _fwd_kernel(lengths_ref, q_ref, *refs, window_size: int,
     k_refs, v_refs = refs[:slots], refs[slots:2 * slots]
     o_ref, lse_ref = refs[2 * slots], refs[2 * slots + 1]
 
-    q = jnp.swapaxes(q_ref[0], 0, 1)                   # [H, bq, d]
+    q = q_ref[0]                                       # [H, bq, d]
     h, bq, d = q.shape
     length = lengths_ref[bi]
 
@@ -122,7 +115,7 @@ def _fwd_kernel(lengths_ref, q_ref, *refs, window_size: int,
     for slot in range(slots):
         k_block, valid = _slot_to_block(qb, slot, window_size, num_k_blocks,
                                         causal, include_cls)
-        k = jnp.swapaxes(k_refs[slot][0], 0, 1)        # [H, bk, d]
+        k = k_refs[slot][0]                            # [H, bk, d]
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * sm_scale
@@ -135,15 +128,15 @@ def _fwd_kernel(lengths_ref, q_ref, *refs, window_size: int,
         alpha = jnp.exp(m - m_next)
         p = jnp.exp(s - m_next)                        # [H, bq, bk]
         l = alpha * l + jnp.sum(p, axis=2, keepdims=True)
-        v = jnp.swapaxes(v_refs[slot][0], 0, 1)
+        v = v_refs[slot][0]
         acc = acc * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         m = m_next
 
     l_safe = jnp.where(l == 0.0, 1.0, l)
-    o_ref[0] = jnp.swapaxes((acc / l_safe).astype(o_ref.dtype), 0, 1)
-    lse_ref[0] = jnp.swapaxes((m + jnp.log(l_safe))[..., 0], 0, 1)
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+    lse_ref[0] = (m + jnp.log(l_safe))[..., 0]
 
 
 @functools.partial(
@@ -153,7 +146,7 @@ def _fwd_kernel(lengths_ref, q_ref, *refs, window_size: int,
 def _sliding_window_attention_fwd_pallas(
         q, k, v, kv_mask, *, window_size: int, block_size: int,
         causal: bool, include_cls: bool, interpret: bool = False):
-    b, L, h, d = q.shape
+    b, h, L, d = q.shape
     assert L % block_size == 0
     nb = L // block_size
     slots = window_size + (1 if include_cls else 0)
@@ -168,12 +161,12 @@ def _sliding_window_attention_fwd_pallas(
         def index(bi, qb, lens):
             kb, _ = _slot_to_block(qb, slot, window_size, nb, causal,
                                    include_cls)
-            return (bi, kb, 0, 0)
+            return (bi, 0, kb, 0)
         return index
 
-    qspec = pl.BlockSpec((1, block_size, h, d),
-                         lambda bi, qb, lens: (bi, qb, 0, 0))
-    kspecs = [pl.BlockSpec((1, block_size, h, d), k_index(s))
+    qspec = pl.BlockSpec((1, h, block_size, d),
+                         lambda bi, qb, lens: (bi, 0, qb, 0))
+    kspecs = [pl.BlockSpec((1, h, block_size, d), k_index(s))
               for s in range(slots)]
 
     kernel = functools.partial(
@@ -183,17 +176,17 @@ def _sliding_window_attention_fwd_pallas(
 
     out, lse = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((b, L, h, d), q.dtype),
-                   jax.ShapeDtypeStruct((b, L, h), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((b, h, L, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, L), jnp.float32)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, nb),
             in_specs=[qspec] + kspecs + kspecs,
             out_specs=(
-                pl.BlockSpec((1, block_size, h, d),
-                             lambda bi, qb, lens: (bi, qb, 0, 0)),
-                pl.BlockSpec((1, block_size, h),
-                             lambda bi, qb, lens: (bi, qb, 0)),
+                pl.BlockSpec((1, h, block_size, d),
+                             lambda bi, qb, lens: (bi, 0, qb, 0)),
+                pl.BlockSpec((1, h, block_size),
+                             lambda bi, qb, lens: (bi, 0, qb)),
             ),
         ),
         compiler_params=pltpu.CompilerParams(
@@ -230,10 +223,8 @@ def _dq_kernel(lengths_ref, q_ref, do_ref, lse_ref, delta_ref, *refs,
     k_refs, v_refs = refs[:slots], refs[slots:2 * slots]
     dq_ref = refs[2 * slots]
 
-    q = jnp.swapaxes(q_ref[0], 0, 1)
-    do = jnp.swapaxes(do_ref[0], 0, 1)
-    lse = jnp.swapaxes(lse_ref[0], 0, 1)
-    delta = jnp.swapaxes(delta_ref[0], 0, 1)
+    q, do = q_ref[0], do_ref[0]
+    lse, delta = lse_ref[0], delta_ref[0]
     h, bq, d = q.shape
     length = lengths_ref[bi]
 
@@ -241,15 +232,14 @@ def _dq_kernel(lengths_ref, q_ref, do_ref, lse_ref, delta_ref, *refs,
     for slot in range(slots):
         k_block, valid = _slot_to_block(qb, slot, window_size, num_k_blocks,
                                         causal, include_cls)
-        k = jnp.swapaxes(k_refs[slot][0], 0, 1)
-        v = jnp.swapaxes(v_refs[slot][0], 0, 1)
+        k, v = k_refs[slot][0], v_refs[slot][0]
         mask = _tile_mask(qb, k_block, valid, (bq, k.shape[1]), length,
                           block_size, causal)
         _, ds = _p_and_ds(q, k, v, do, lse, delta, mask, sm_scale)
         acc += jax.lax.dot_general(
             ds.astype(k.dtype), k, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)              # [H, bq, d]
-    dq_ref[0] = jnp.swapaxes(acc.astype(dq_ref.dtype), 0, 1)
+    dq_ref[0] = acc.astype(dq_ref.dtype)
 
 
 def _dkv_band_kernel(lengths_ref, k_ref, v_ref, *refs, window_size: int,
@@ -262,8 +252,7 @@ def _dkv_band_kernel(lengths_ref, k_ref, v_ref, *refs, window_size: int,
     lse_refs, delta_refs = refs[2 * w:3 * w], refs[3 * w:4 * w]
     dk_ref, dv_ref = refs[4 * w], refs[4 * w + 1]
 
-    k = jnp.swapaxes(k_ref[0], 0, 1)
-    v = jnp.swapaxes(v_ref[0], 0, 1)
+    k, v = k_ref[0], v_ref[0]
     h, bk, d = k.shape
     length = lengths_ref[bi]
 
@@ -272,14 +261,11 @@ def _dkv_band_kernel(lengths_ref, k_ref, v_ref, *refs, window_size: int,
     for slot in range(w):
         qb, valid = _band_q_for_k(kb, slot, window_size, num_q_blocks,
                                   causal)
-        q = jnp.swapaxes(q_refs[slot][0], 0, 1)
-        do = jnp.swapaxes(do_refs[slot][0], 0, 1)
+        q, do = q_refs[slot][0], do_refs[slot][0]
         mask = _tile_mask(qb, kb, valid, (q.shape[1], bk), length,
                           block_size, causal)
-        p, ds = _p_and_ds(q, k, v, do,
-                          jnp.swapaxes(lse_refs[slot][0], 0, 1),
-                          jnp.swapaxes(delta_refs[slot][0], 0, 1),
-                          mask, sm_scale)
+        p, ds = _p_and_ds(q, k, v, do, lse_refs[slot][0],
+                          delta_refs[slot][0], mask, sm_scale)
         # dv += p^T do ; dk += ds^T q  (contract the query dim)
         dv += jax.lax.dot_general(
             p.astype(do.dtype), do, (((1,), (1,)), ((0,), (0,))),
@@ -287,8 +273,8 @@ def _dkv_band_kernel(lengths_ref, k_ref, v_ref, *refs, window_size: int,
         dk += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-    dk_ref[0] = jnp.swapaxes(dk.astype(dk_ref.dtype), 0, 1)
-    dv_ref[0] = jnp.swapaxes(dv.astype(dv_ref.dtype), 0, 1)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
 def _dkv_cls_kernel(
@@ -310,14 +296,10 @@ def _dkv_cls_kernel(
         dk_scratch[...] = jnp.zeros_like(dk_scratch)
         dv_scratch[...] = jnp.zeros_like(dv_scratch)
 
-    q = jnp.swapaxes(q_ref[0], 0, 1)
-    k = jnp.swapaxes(k_ref[0], 0, 1)
-    v = jnp.swapaxes(v_ref[0], 0, 1)
-    do = jnp.swapaxes(do_ref[0], 0, 1)
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
     mask = _tile_mask(qb, 0, True, (q.shape[1], k.shape[1]),
                       lengths_ref[bi], block_size, causal)
-    p, ds = _p_and_ds(q, k, v, do, jnp.swapaxes(lse_ref[0], 0, 1),
-                      jnp.swapaxes(delta_ref[0], 0, 1), mask, sm_scale)
+    p, ds = _p_and_ds(q, k, v, do, lse_ref[0], delta_ref[0], mask, sm_scale)
     dv_scratch[...] += jax.lax.dot_general(
         p.astype(do.dtype), do, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
@@ -327,8 +309,8 @@ def _dkv_cls_kernel(
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _store():
-        dk_ref[0] = jnp.swapaxes(dk_scratch[...].astype(dk_ref.dtype), 0, 1)
-        dv_ref[0] = jnp.swapaxes(dv_scratch[...].astype(dv_ref.dtype), 0, 1)
+        dk_ref[0] = dk_scratch[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scratch[...].astype(dv_ref.dtype)
 
 
 @functools.partial(
@@ -338,28 +320,28 @@ def _dkv_cls_kernel(
 def _bwd_pallas(q, k, v, lengths, lse, o, do, *, window_size: int,
                 block_size: int, causal: bool, include_cls: bool,
                 interpret: bool = False):
-    b, L, h, d = q.shape
+    b, h, L, d = q.shape
     nb = L // block_size
     slots = window_size + (1 if include_cls else 0)
     sm_scale = d ** -0.5
 
     # delta_i = rowsum(do_i * o_i): tiny elementwise reduce, XLA fuses it.
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
-                    axis=-1)                                   # [B, L, H]
+                    axis=-1)                                   # [B, H, L]
 
-    qspec = pl.BlockSpec((1, block_size, h, d),
-                         lambda bi, qb, lens: (bi, qb, 0, 0))
-    rowspec = pl.BlockSpec((1, block_size, h),
-                           lambda bi, qb, lens: (bi, qb, 0))
+    qspec = pl.BlockSpec((1, h, block_size, d),
+                         lambda bi, qb, lens: (bi, 0, qb, 0))
+    rowspec = pl.BlockSpec((1, h, block_size),
+                           lambda bi, qb, lens: (bi, 0, qb))
 
     def k_index(slot):
         def index(bi, qb, lens):
             kb, _ = _slot_to_block(qb, slot, window_size, nb, causal,
                                    include_cls)
-            return (bi, kb, 0, 0)
+            return (bi, 0, kb, 0)
         return index
 
-    kspecs = [pl.BlockSpec((1, block_size, h, d), k_index(s))
+    kspecs = [pl.BlockSpec((1, h, block_size, d), k_index(s))
               for s in range(slots)]
 
     dq = pl.pallas_call(
@@ -367,14 +349,14 @@ def _bwd_pallas(q, k, v, lengths, lse, o, do, *, window_size: int,
             _dq_kernel, window_size=window_size, block_size=block_size,
             num_k_blocks=nb, causal=causal, include_cls=include_cls,
             sm_scale=sm_scale, slots=slots),
-        out_shape=jax.ShapeDtypeStruct((b, L, h, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, L, d), q.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, nb),
             in_specs=[qspec, qspec, rowspec, rowspec] + kspecs + kspecs,
             out_specs=pl.BlockSpec(
-                (1, block_size, h, d),
-                lambda bi, qb, lens: (bi, qb, 0, 0)),
+                (1, h, block_size, d),
+                lambda bi, qb, lens: (bi, 0, qb, 0)),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
@@ -385,38 +367,38 @@ def _bwd_pallas(q, k, v, lengths, lse, o, do, *, window_size: int,
     def q_index(slot):
         def index(bi, kb, lens):
             qb, _ = _band_q_for_k(kb, slot, window_size, nb, causal)
-            return (bi, qb, 0, 0)
+            return (bi, 0, qb, 0)
         return index
 
     def qrow_index(slot):
         def index(bi, kb, lens):
             qb, _ = _band_q_for_k(kb, slot, window_size, nb, causal)
-            return (bi, qb, 0)
+            return (bi, 0, qb)
         return index
 
-    kself = pl.BlockSpec((1, block_size, h, d),
-                         lambda bi, kb, lens: (bi, kb, 0, 0))
+    kself = pl.BlockSpec((1, h, block_size, d),
+                         lambda bi, kb, lens: (bi, 0, kb, 0))
     w = window_size
-    qspecs = [pl.BlockSpec((1, block_size, h, d), q_index(s))
+    qspecs = [pl.BlockSpec((1, h, block_size, d), q_index(s))
               for s in range(w)]
-    qrows = [pl.BlockSpec((1, block_size, h), qrow_index(s))
+    qrows = [pl.BlockSpec((1, h, block_size), qrow_index(s))
              for s in range(w)]
     dk, dv = pl.pallas_call(
         functools.partial(
             _dkv_band_kernel, window_size=window_size,
             block_size=block_size, num_q_blocks=nb, causal=causal,
             sm_scale=sm_scale),
-        out_shape=(jax.ShapeDtypeStruct((b, L, h, d), k.dtype),
-                   jax.ShapeDtypeStruct((b, L, h, d), v.dtype)),
+        out_shape=(jax.ShapeDtypeStruct((b, h, L, d), k.dtype),
+                   jax.ShapeDtypeStruct((b, h, L, d), v.dtype)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, nb),
             in_specs=[kself, kself] + qspecs + qspecs + qrows + qrows,
             out_specs=(
-                pl.BlockSpec((1, block_size, h, d),
-                             lambda bi, kb, lens: (bi, kb, 0, 0)),
-                pl.BlockSpec((1, block_size, h, d),
-                             lambda bi, kb, lens: (bi, kb, 0, 0)),
+                pl.BlockSpec((1, h, block_size, d),
+                             lambda bi, kb, lens: (bi, 0, kb, 0)),
+                pl.BlockSpec((1, h, block_size, d),
+                             lambda bi, kb, lens: (bi, 0, kb, 0)),
             ),
         ),
         compiler_params=pltpu.CompilerParams(
@@ -427,27 +409,27 @@ def _bwd_pallas(q, k, v, lengths, lse, o, do, *, window_size: int,
     # CLS column: query blocks beyond band(0) also hit key block 0.
     left = _band_left(window_size, causal)
     if include_cls and nb > left:
-        cspec = pl.BlockSpec((1, block_size, h, d),
-                             lambda bi, j, lens: (bi, left + j, 0, 0))
-        crow = pl.BlockSpec((1, block_size, h),
-                            lambda bi, j, lens: (bi, left + j, 0))
-        k0 = pl.BlockSpec((1, block_size, h, d),
+        cspec = pl.BlockSpec((1, h, block_size, d),
+                             lambda bi, j, lens: (bi, 0, left + j, 0))
+        crow = pl.BlockSpec((1, h, block_size),
+                            lambda bi, j, lens: (bi, 0, left + j))
+        k0 = pl.BlockSpec((1, h, block_size, d),
                           lambda bi, j, lens: (bi, 0, 0, 0))
         dk0, dv0 = pl.pallas_call(
             functools.partial(
                 _dkv_cls_kernel, block_size=block_size, q_start=left,
                 causal=causal, sm_scale=sm_scale),
             out_shape=(
-                jax.ShapeDtypeStruct((b, block_size, h, d), k.dtype),
-                jax.ShapeDtypeStruct((b, block_size, h, d), v.dtype)),
+                jax.ShapeDtypeStruct((b, h, block_size, d), k.dtype),
+                jax.ShapeDtypeStruct((b, h, block_size, d), v.dtype)),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(b, nb - left),
                 in_specs=[cspec, k0, k0, cspec, crow, crow],
                 out_specs=(
-                    pl.BlockSpec((1, block_size, h, d),
+                    pl.BlockSpec((1, h, block_size, d),
                                  lambda bi, j, lens: (bi, 0, 0, 0)),
-                    pl.BlockSpec((1, block_size, h, d),
+                    pl.BlockSpec((1, h, block_size, d),
                                  lambda bi, j, lens: (bi, 0, 0, 0)),
                 ),
                 scratch_shapes=[
@@ -458,8 +440,8 @@ def _bwd_pallas(q, k, v, lengths, lse, o, do, *, window_size: int,
                 dimension_semantics=("parallel", "arbitrary")),
             interpret=interpret,
         )(lengths, q, k, v, do, lse, delta)
-        dk = dk.at[:, :block_size].add(dk0)
-        dv = dv.at[:, :block_size].add(dv0)
+        dk = dk.at[:, :, :block_size].add(dk0)
+        dv = dv.at[:, :, :block_size].add(dv0)
 
     return dq, dk, dv
 
@@ -477,10 +459,9 @@ def sliding_window_attention_pallas(q, k, v, kv_mask, window_size: int = 2,
                                     interpret: bool = False):
     """Fused sliding-window + CLS attention, Pallas forward AND backward.
 
-    q/k/v: PACKED [B, L, H, D] (free reshape of the projection output);
-    kv_mask: [B, L] bool or None (right-padding prefix). Semantics identical
-    to sliding_window_attention_xla on the transposed inputs (tested against
-    it and the dense oracle, gradients included).
+    q/k/v: [B, H, L, D]; kv_mask: [B, L] bool or None (right-padding
+    prefix). Semantics identical to sliding_window_attention_xla (tested
+    against it and the dense oracle, gradients included).
     """
     out, _, _ = _sliding_window_attention_fwd_pallas(
         q, k, v, kv_mask, window_size=window_size, block_size=block_size,

@@ -42,25 +42,3 @@ def apply_rotary(x, max_pos: float = 10_000.0, offset=0):
     out0 = x0 * cos - x1 * sin
     out1 = x1 * cos + x0 * sin
     return jnp.stack([out0, out1], axis=-1).reshape(x.shape)
-
-
-def apply_rotary_packed(x, num_heads: int, max_pos: float = 10_000.0,
-                        offset=0):
-    """Per-head rotary on a PACKED [B, L, H*Dh] tensor — identical math to
-    apply_rotary on the head-split view (pairs never straddle heads since
-    Dh is even), but no head transpose: the angle table is tiled H times
-    along the feature axis and the rotation stays elementwise in the
-    projection's natural layout."""
-    d = x.shape[-1]
-    dh_half = d // num_heads // 2
-    angles = rotary_angles(x.shape[-2], dh_half, max_pos, offset,
-                           jnp.float32)                       # [L, dh/2]
-    angles = jnp.tile(angles, (1, num_heads))                 # [L, d/2]
-    cos = jnp.cos(angles).astype(x.dtype)
-    sin = jnp.sin(angles).astype(x.dtype)
-
-    x_pairs = x.reshape(*x.shape[:-1], d // 2, 2)
-    x0, x1 = x_pairs[..., 0], x_pairs[..., 1]
-    out0 = x0 * cos - x1 * sin
-    out1 = x1 * cos + x0 * sin
-    return jnp.stack([out0, out1], axis=-1).reshape(x.shape)

@@ -121,15 +121,8 @@ def sliding_window_attention_xla(q, k, v, kv_mask=None, *,
 def sliding_window_attention(q, k, v, kv_mask=None, *, window_size: int = 2,
                              block_size: int = 128, causal: bool = True,
                              include_cls: bool = True,
-                             force_xla: bool = False,
-                             packed: bool = False):
+                             force_xla: bool = False):
     """Dispatcher: fused Pallas kernel on TPU, blocked XLA elsewhere.
-
-    packed=True: q/k/v are [B, L, H, D] — the free reshape of the attention
-    projections' output and the Pallas kernels' native layout (head-major
-    operands force XLA to materialize a transpose copy around the custom
-    call). packed=False: head-major [B, H, L, D]. Either layout reaches
-    either implementation via (cheap, fusable) transposes.
 
     The Pallas path needs a TPU backend and MXU-aligned blocks; anything
     else (CPU tests, odd shapes) takes the blocked-XLA path with identical
@@ -139,14 +132,8 @@ def sliding_window_attention(q, k, v, kv_mask=None, *, window_size: int = 2,
     if (not force_xla and on_tpu and block_size % 128 == 0
             and q.shape[-1] % 8 == 0):
         from .pallas_kernels import sliding_window_attention_pallas
-        if not packed:
-            q, k, v = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
-        out = sliding_window_attention_pallas(
+        return sliding_window_attention_pallas(
             q, k, v, kv_mask, window_size, block_size, causal, include_cls)
-        return out if packed else jnp.swapaxes(out, 1, 2)
-    if packed:
-        q, k, v = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
-    out = sliding_window_attention_xla(
+    return sliding_window_attention_xla(
         q, k, v, kv_mask, window_size=window_size, block_size=block_size,
         causal=causal, include_cls=include_cls)
-    return jnp.swapaxes(out, 1, 2) if packed else out

@@ -14,15 +14,6 @@ from sparse_vae_tpu.ops.sliding_window_attention import (
     sliding_window_attention_xla)
 
 
-def pallas_bhld(q, k, v, mask, window, bs, causal, cls, interpret):
-    """Drive the kernel (native layout: packed [B, L, H, D]) from the
-    head-major arrays these oracle comparisons use."""
-    out = sliding_window_attention_pallas(
-        jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2),
-        mask, window, bs, causal, cls, interpret)
-    return jnp.swapaxes(out, 1, 2)
-
-
 def rand_qkv(rng, b=2, h=2, L=256, d=64):
     ks = jax.random.split(rng, 3)
     return tuple(jax.random.normal(kk, (b, h, L, d)) for kk in ks)
@@ -33,7 +24,7 @@ class TestPallasForward:
     @pytest.mark.parametrize("causal", [True, False])
     def test_matches_xla(self, rng, window, causal):
         q, k, v = rand_qkv(rng, L=256, d=64)
-        out = pallas_bhld(
+        out = sliding_window_attention_pallas(
             q, k, v, None, window, 64, causal, True, True)
         ref = sliding_window_attention_xla(
             q, k, v, None, window_size=window, block_size=64, causal=causal,
@@ -42,7 +33,7 @@ class TestPallasForward:
 
     def test_no_cls(self, rng):
         q, k, v = rand_qkv(rng, L=128, d=32)
-        out = pallas_bhld(
+        out = sliding_window_attention_pallas(
             q, k, v, None, 2, 32, True, False, True)
         ref = sliding_window_attention_xla(
             q, k, v, None, window_size=2, block_size=32, causal=True,
@@ -52,7 +43,7 @@ class TestPallasForward:
     def test_padding_mask(self, rng):
         q, k, v = rand_qkv(rng, b=2, L=128, d=32)
         kv_mask = jnp.arange(128)[None, :] < jnp.array([[100], [40]])
-        out = pallas_bhld(
+        out = sliding_window_attention_pallas(
             q, k, v, kv_mask, 2, 32, True, True, True)
         ref = sliding_window_attention_xla(
             q, k, v, kv_mask, window_size=2, block_size=32, causal=True,
@@ -66,7 +57,7 @@ class TestPallasForward:
 
     def test_bf16_inputs(self, rng):
         q, k, v = (t.astype(jnp.bfloat16) for t in rand_qkv(rng, L=128, d=64))
-        out = pallas_bhld(
+        out = sliding_window_attention_pallas(
             q, k, v, None, 2, 64, True, True, True)
         ref = sliding_window_attention_xla(
             q, k, v, None, window_size=2, block_size=64)
@@ -78,12 +69,12 @@ class TestPallasForward:
     def test_long_sequence_window_locality(self, rng):
         """Tokens beyond the window + CLS must have zero influence."""
         q, k, v = rand_qkv(rng, b=1, h=1, L=256, d=32)
-        out1 = pallas_bhld(
+        out1 = sliding_window_attention_pallas(
             q, k, v, None, 1, 32, True, True, True)
         # Perturb k/v in a block far outside the last query block's window
         k2 = k.at[:, :, 64:96].set(jax.random.normal(rng, (1, 1, 32, 32)))
         v2 = v.at[:, :, 64:96].set(jax.random.normal(rng, (1, 1, 32, 32)))
-        out2 = pallas_bhld(
+        out2 = sliding_window_attention_pallas(
             q, k2, v2, None, 1, 32, True, True, True)
         # Last block (224..256) attends only to itself + block 0
         np.testing.assert_allclose(out1[:, :, 224:], out2[:, :, 224:],
@@ -97,7 +88,7 @@ class TestPallasBackward:
         q, k, v = rand_qkv(rng, b=1, h=1, L=128, d=32)
 
         def f_pallas(q, k, v):
-            return jnp.sum(pallas_bhld(
+            return jnp.sum(sliding_window_attention_pallas(
                 q, k, v, None, 2, 32, True, True, True) ** 2)
 
         def f_xla(q, k, v):
@@ -115,7 +106,7 @@ class TestPallasBackward:
         q, k, v = rand_qkv(rng, b=1, h=2, L=192, d=32)
 
         def f_pallas(q, k, v):
-            return jnp.sum(jnp.sin(pallas_bhld(
+            return jnp.sum(jnp.sin(sliding_window_attention_pallas(
                 q, k, v, None, window, 32, causal, True, True)))
 
         def f_xla(q, k, v):
@@ -136,7 +127,7 @@ class TestPallasBackward:
                 return jnp.sum(impl(q, k, v) ** 2)
             return jax.grad(g, argnums=(0, 1, 2))(q, k, v)
 
-        gp = f(lambda q, k, v: pallas_bhld(
+        gp = f(lambda q, k, v: sliding_window_attention_pallas(
             q, k, v, None, 2, 32, True, False, True))
         gx = f(lambda q, k, v: sliding_window_attention_xla(
             q, k, v, None, window_size=2, block_size=32, causal=True,
@@ -157,7 +148,7 @@ class TestPallasBackward:
                 return jnp.sum(out ** 2)
             return jax.grad(g, argnums=(0, 1, 2))(q, k, v)
 
-        gp = f(lambda q, k, v: pallas_bhld(
+        gp = f(lambda q, k, v: sliding_window_attention_pallas(
             q, k, v, kv_mask, 2, 32, True, True, True))
         gx = f(lambda q, k, v: sliding_window_attention_xla(
             q, k, v, kv_mask, window_size=2, block_size=32))
@@ -173,7 +164,7 @@ class TestPallasBackward:
                 return jnp.sum(impl(q, k, v).astype(jnp.float32) ** 2)
             return jax.grad(g, argnums=(0, 1, 2))(q, k, v)
 
-        gp = f(lambda q, k, v: pallas_bhld(
+        gp = f(lambda q, k, v: sliding_window_attention_pallas(
             q, k, v, None, 2, 64, True, True, True))
         gx = f(lambda q, k, v: sliding_window_attention_xla(
             q, k, v, None, window_size=2, block_size=64))
