@@ -176,6 +176,34 @@ class Attention(nn.Module):
                 lq, lk, self.block_size, self.window_size, self.causal)
             mask = mask[None, None]
         elif self.causal and self.learned_queries is None:
+            if (self.use_pallas_kernel and jax.default_backend() == "tpu"
+                    and lq == lk and lq % 512 == 0):
+                # Dense causal path on TPU: the in-tree Pallas flash
+                # attention — the [B, H, L, L] score tensor never
+                # materializes (5.3 GB fp32 per layer at the
+                # dense-benchmark preset's 3.5k-token batches, which also
+                # forced remat_policy=full). Padding enters as segment ids
+                # (pads get segment 0, real tokens 1; matches the masked
+                # oracle, tested).
+                from jax.experimental.pallas.ops.tpu.flash_attention import (
+                    BlockSizes, SegmentIds, flash_attention)
+                seg = None
+                if kv_mask is not None:
+                    s = kv_mask.astype(jnp.int32)
+                    seg = SegmentIds(q=s, kv=s)
+                # The library default (128-everywhere) tiles a d512 model
+                # into tiny matmuls — measured 750 ms of a 890 ms step at
+                # (13, 3584). 512-wide blocks amortize the grid overhead.
+                bs_ = min(512, lq)
+                blocks = BlockSizes(
+                    block_q=bs_, block_k_major=bs_, block_k=bs_, block_b=1,
+                    block_q_major_dkv=bs_, block_k_major_dkv=bs_,
+                    block_k_dkv=bs_, block_q_dkv=bs_,
+                    block_k_major_dq=bs_, block_k_dq=bs_, block_q_dq=bs_)
+                out = flash_attention(q, k, v, segment_ids=seg, causal=True,
+                                      sm_scale=q.shape[-1] ** -0.5,
+                                      block_sizes=blocks)
+                return self.output_linear(merge_heads(out))
             mask = (jnp.arange(lk)[None, :] <= jnp.arange(lq)[:, None]
                     )[None, None]
         else:

@@ -187,3 +187,34 @@ class TestAttentionModule:
             outs.append(out)
         np.testing.assert_allclose(jnp.concatenate(outs, 1), full,
                                    rtol=2e-4, atol=1e-5)
+
+
+class TestFlashDensePath:
+    def test_flash_matches_masked_dense_oracle(self, rng):
+        """The in-tree Pallas flash attention (the TPU dense causal path in
+        Attention.__call__) must equal the masked dense oracle, ragged
+        padding included — run in interpret mode on CPU."""
+        from jax.experimental.pallas import tpu as pltpu
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            SegmentIds, flash_attention)
+
+        B, H, L, D = 2, 4, 512, 64
+        ks = jax.random.split(rng, 3)
+        q, k, v = (jax.random.normal(kk, (B, H, L, D)) for kk in ks)
+        lengths = jnp.array([512, 200])
+        seg = jnp.where(jnp.arange(L)[None, :] < lengths[:, None], 1, 0)
+
+        with pltpu.force_tpu_interpret_mode():
+            out = flash_attention(q, k, v,
+                                  segment_ids=SegmentIds(q=seg, kv=seg),
+                                  causal=True, sm_scale=D ** -0.5)
+
+        mask = (jnp.arange(L)[None, :] <= jnp.arange(L)[:, None])[None, None]
+        mask = mask & (jnp.arange(L)[None, :]
+                       < lengths[:, None])[:, None, None, :]
+        ref = dense_attention(q, k, v, mask)
+        real = np.asarray(seg, bool)
+        for b in range(B):
+            np.testing.assert_allclose(np.asarray(out)[b, :, real[b]],
+                                       np.asarray(ref)[b, :, real[b]],
+                                       rtol=2e-4, atol=2e-5)
