@@ -120,15 +120,30 @@ class LSTMVAE(nn.Module):
         c0 = self.z_to_hidden(z)
         return [(jnp.tanh(c0), c0)] * self.hparams.num_layers
 
-    def reconstruct(self, token_ids, z):
-        """Teacher-forced logits given z (lstm_vae.py:149-170): z is
+    def reconstruct_hidden(self, token_ids, z):
+        """Teacher-forced decoder states given z (lstm_vae.py:149-170): z is
         concatenated to every embedding and also initializes (h0, c0)."""
         x = self.drop(self.decoder_embedding(token_ids))
         zb = jnp.broadcast_to(z[..., None, :],
                               (*x.shape[:-1], z.shape[-1]))
         x = jnp.concatenate([x, zb], axis=-1)
         hs, _ = self.decoder(x, self._decoder_init(z))
-        return self._logits(self.drop(hs))
+        return self.drop(hs)
+
+    def reconstruct(self, token_ids, z):
+        """Teacher-forced logits given z."""
+        return self._logits(self.reconstruct_hidden(token_ids, z))
+
+    def reconstruct_ll(self, token_ids, z, chunk_size: int = 2048):
+        """Per-document log p(x|z) [B] with the next-token shift applied and
+        logits never fully materialized — the IWAE evaluator's long-batch
+        path (at the lstm-benchmark scale, [K, B, L, 32768] logits exceed
+        HBM)."""
+        from ..ops.cross_entropy import chunked_sequence_log_likelihood
+        hs = self.reconstruct_hidden(token_ids, z)
+        labels = jnp.pad(token_ids[:, 1:], ((0, 0), (0, 1)))
+        return chunked_sequence_log_likelihood(hs, self._logits, labels,
+                                               chunk_size)
 
     # -- training forward ---------------------------------------------------
     def __call__(self, token_ids):

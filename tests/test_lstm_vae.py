@@ -286,3 +286,28 @@ class TestBiLSTMRaggedLengths:
             np.testing.assert_allclose(np.asarray(out[r]),
                                        np.asarray(expected[0]),
                                        rtol=1e-5, atol=1e-6)
+
+
+class TestLSTMReconstructLL:
+    def test_matches_full_logits(self):
+        from sparse_vae_tpu.models.lstm_vae import LSTMVAE, LSTMVAEHparams
+        from sparse_vae_tpu.ops.cross_entropy import sequence_log_likelihood
+
+        hp = LSTMVAEHparams(d_model=32, d_embedding=16, latent_depth=8,
+                            vocab_size=64, tie_logit_weights=True)
+        model = LSTMVAE(hp)
+        rng = jax.random.PRNGKey(0)
+        tokens = jnp.concatenate(
+            [jnp.ones((3, 1), jnp.int32),
+             jax.random.randint(rng, (3, 23), 3, 64)], axis=1)
+        tokens = tokens.at[1, 12:].set(0)
+        tokens = tokens.at[2].set(0)
+        params = model.init({"params": rng, "sample": rng}, tokens)["params"]
+        z = jax.random.normal(rng, (3, hp.latent_depth))
+        ll = model.apply({"params": params}, tokens, z, chunk_size=8,
+                         method=LSTMVAE.reconstruct_ll)
+        logits = model.apply({"params": params}, tokens, z,
+                             method=LSTMVAE.reconstruct)
+        expected = sequence_log_likelihood(logits[:, :-1], tokens[:, 1:])
+        np.testing.assert_allclose(np.asarray(ll), np.asarray(expected),
+                                   rtol=1e-4, atol=1e-4)
