@@ -134,11 +134,12 @@ class LSTMVAE(nn.Module):
         """Teacher-forced logits given z."""
         return self._logits(self.reconstruct_hidden(token_ids, z))
 
-    def reconstruct_ll(self, token_ids, z, chunk_size: int = 2048):
+    def reconstruct_ll(self, token_ids, z, chunk_size: int = 512):
         """Per-document log p(x|z) [B] with the next-token shift applied and
         logits never fully materialized — the IWAE evaluator's long-batch
         path (at the lstm-benchmark scale, [K, B, L, 32768] logits exceed
-        HBM)."""
+        HBM). chunk_size 512: the evaluator vmaps this over sample
+        chunks, multiplying the per-chunk logits accordingly."""
         from ..ops.cross_entropy import chunked_sequence_log_likelihood
         hs = self.reconstruct_hidden(token_ids, z)
         labels = jnp.pad(token_ids[:, 1:], ((0, 0), (0, 1)))
