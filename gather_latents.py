@@ -35,7 +35,8 @@ def main(args):
     predict = jax.jit(lambda tokens: module.apply(
         {"params": params}, tokens, method=type(module).posterior))
 
-    latents, scales, titles = [], [], []
+    latents, scales, titles, doc_indices = [], [], [], []
+    next_index = 0
     for split in ("train", "test"):
         corpus = data.splits[split]
         batch_rows = 32
@@ -56,13 +57,19 @@ def main(args):
                 titles.extend(corpus.titles[i] for i in idx)
             else:
                 titles.extend([""] * len(idx))
+            # Stable join key for downstream tooling (tsne.py): position in
+            # the train-then-test document order — titles can be duplicated
+            # or empty, indices cannot.
+            doc_indices.extend(next_index + i for i in idx)
+        next_index += len(corpus)
 
     print("Saving to disk...")
     from datasets import Dataset
     save_path = (Path.cwd() / "sparse-vae-datasets" / "latents"
                  / experiment / name)
     dataset = Dataset.from_dict(
-        {"title": titles, "latent": latents, "scale": scales})
+        {"title": titles, "latent": latents, "scale": scales,
+         "doc_index": doc_indices})
     dataset.save_to_disk(str(save_path))
     print(f"Done: {len(titles)} latents -> {save_path}")
 

@@ -71,6 +71,12 @@ def load_checkpoint_for_name(experiment: str, name: str, root=None,
         if best_file.exists():
             step = _json.loads(best_file.read_text()).get("step")
         else:
+            import warnings
+            warnings.warn(
+                f"step='best' requested but {best_file} does not exist "
+                "(no best-val checkpoint was recorded for this run); "
+                "falling back to the NEWEST checkpoint, which may be a "
+                "later, overfit step.", stacklevel=2)
             step = None
     if step is not None:
         path = path.parent / f"step_{int(step)}"

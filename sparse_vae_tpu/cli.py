@@ -34,7 +34,11 @@ class CLIConfig:
     anomaly_detection: bool = False
 
 
-def assemble_config(experiment: str, dotlist: List[str]) -> CLIConfig:
+def assemble_config(experiment: str, dotlist: List[str],
+                    base_meta: Optional[Dict[str, Any]] = None) -> CLIConfig:
+    """base_meta: a run's saved meta.json dict — used when resuming so the
+    continued run starts from the EXACT hparams of the original (CLI dotlist
+    keys still win, e.g. trainer.max_steps=8000 to lift a step cap)."""
     raw = parse_dotlist(dotlist)
     cfg = CLIConfig(experiment=experiment)
 
@@ -48,6 +52,11 @@ def assemble_config(experiment: str, dotlist: List[str]) -> CLIConfig:
     model_over = dict(raw.pop("model", {}))
     data_over = dict(raw.pop("data", {}))
     trainer_over = dict(raw.pop("trainer", {}))
+    if base_meta:
+        model_over = {**base_meta.get("model_hparams", {}), **model_over}
+        data_over = {**base_meta.get("data_hparams", {}), **data_over}
+        trainer_over = {**base_meta.get("trainer_hparams", {}),
+                        **trainer_over}
     if raw:
         raise ValueError(f"Unrecognized CLI keys: {sorted(raw)} "
                          f"(prefix with model./data./trainer.)")

@@ -67,6 +67,13 @@ class VAEObjective:
     loss = nll + kl_weight(step) * kl  (transformer_vae.py:50-55), with the
     weight from the linear annealing schedule and mc_mutual_info logged via
     the (sign-corrected) marginal-KL estimator (:59-61).
+
+    CONTRACT: compose_loss must stay LINEAR in `sums` at fixed `counts`
+    (see ARObjective's docstring / parallel.spmd.assert_compose_loss_linear)
+    — the sharded train step's exactness depends on it. Both the ELBO and
+    the DReG branch are sums-over-rows divided by psum'd counts; keep any
+    future term in that numerator/denominator form (nonlinear quantities
+    only as stop_gradient diagnostics, like marginal_kl_rows).
     """
 
     def __init__(self, hparams: ContinuousVAEHparams,

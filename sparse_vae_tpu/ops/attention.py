@@ -184,7 +184,13 @@ class Attention(nn.Module):
                 # dense-benchmark preset's 3.5k-token batches, which also
                 # forced remat_policy=full). Padding enters as segment ids
                 # (pads get segment 0, real tokens 1; matches the masked
-                # oracle, tested).
+                # oracle at REAL positions, tested). CAVEAT: at PAD query
+                # positions the two paths diverge — segment ids make pad
+                # queries attend only pad keys, while the masked dense
+                # fallback lets them attend valid keys. Harmless for every
+                # masked loss in this codebase, but don't consume unmasked
+                # pad-position hidden states (pooling, diagnostics) and
+                # expect backend-identical values.
                 from jax.experimental.pallas.ops.tpu.flash_attention import (
                     BlockSizes, SegmentIds, flash_attention)
                 seg = None

@@ -66,6 +66,37 @@ def stack_microbatches(batches: list) -> dict:
     }
 
 
+def assert_compose_loss_linear(objective, sums, counts, step, atol=1e-5):
+    """Verify the sharded-gradient contract: compose_loss must be LINEAR in
+    `sums` (at fixed counts).
+
+    The sharded step evaluates d loss/d sums once at the psum'd global sums
+    and feeds that cotangent to the VJP of the *local* sums. That is exact
+    iff the cotangent is independent of where it is evaluated — i.e. the
+    composition is linear in sums (numerator/denominator form). A nonlinear
+    composition (log-of-ratio, product of sums, ...) would silently produce
+    wrong gradients on multi-chip while staying correct single-device.
+
+    Checks that grad_sums compose_loss is identical at `sums` and at a
+    rescaled point. Call it from a test (or a debug run) whenever a new
+    objective or a new term in loss_sums lands. Raises AssertionError.
+    """
+    import numpy as np
+
+    def value(s):
+        return objective.compose_loss(s, counts, step)[0]
+
+    g1 = jax.grad(value)(sums)
+    g2 = jax.grad(value)(jax.tree.map(lambda x: 1.0 + 2.0 * x, sums))
+    flat1, _ = jax.tree_util.tree_flatten(g1)
+    flat2, _ = jax.tree_util.tree_flatten(g2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=atol,
+                                   err_msg="compose_loss is NOT linear in "
+                                   "sums — the sharded gradient would be "
+                                   "wrong (see assert_compose_loss_linear)")
+
+
 def make_train_step(module, objective, optimizer,
                     mesh: Optional[Mesh] = None):
     """Build the jitted optimizer step.

@@ -30,6 +30,17 @@ class ARObjective:
     When the model exposes forward_hidden/project and loss_chunk_size is
     set, the projection+CE runs fused over sequence chunks so [B, L, V]
     logits never materialize (the long-document path, both train and eval).
+
+    CONTRACT (shared by every objective the sharded train step accepts):
+    `compose_loss(sums, counts, step)` must be LINEAR in `sums` at fixed
+    `counts` — numerator/denominator form only. The data-parallel step
+    psums sums and counts, takes d loss/d sums once at the global values,
+    and applies that cotangent to the VJP of the LOCAL sums; a composition
+    nonlinear in sums (log of a sum, product of two sums, ...) would make
+    multi-chip gradients silently wrong while single-device stays correct.
+    Nonlinear *diagnostics* are fine as stop_gradient metrics. Guard any
+    new term with parallel.spmd.assert_compose_loss_linear (see
+    tests/test_parallel.py).
     """
 
     def __init__(self, hparams=None):

@@ -141,8 +141,17 @@ class Trainer:
             yield stack_microbatches(group), group[-1]
 
     # -- validation ---------------------------------------------------------
-    def validate(self, params, rng, max_batches: Optional[int] = None
-                 ) -> Dict[str, float]:
+    def validate(self, params, rng=None, max_batches: Optional[int] = None,
+                 step: int = 0) -> Dict[str, float]:
+        """Validation metrics as a pure function of (params, data, step).
+
+        The eval rng is derived from (seed, step) — NOT from the fit loop's
+        ambient rng chain — so two validate() calls on restored params give
+        bit-identical metrics, and resume-then-validate matches
+        train-through-then-validate (an explicit rng can still be passed)."""
+        if rng is None:
+            rng = jax.random.fold_in(
+                jax.random.PRNGKey(self.thp.seed), step)
         totals: Dict[str, float] = {}
         limit = max_batches or self.thp.limit_val_batches
         for i, batch in enumerate(self.data.epoch_batches(
@@ -268,8 +277,7 @@ class Trainer:
                     self._save(params, opt_state, step, rng)
 
                 if step % val_every == 0:
-                    rng, v_rng = jax.random.split(rng)
-                    val_metrics = self.validate(params, v_rng)
+                    val_metrics = self.validate(params, step=step)
                     self.writer.scalars(val_metrics, step)
                     history.append({"step": step, **val_metrics})
                     monitored = val_metrics.get(metric_name)

@@ -123,58 +123,61 @@ def _pdist_sq(x):
     return jnp.maximum(d2[iu], 0.0)
 
 
-def analytic_gaussian_rbf_mmd_sq(x, standardize: bool = True):
-    """Unbiased squared MMD between x's distribution and N(0, I) with a
-    Gaussian RBF kernel, optionally standardized by the null std error
-    (math_utils.py:107-126)."""
-    n, d = x.shape
-    kernel_var = 0.125 * d
-    normalizer = (kernel_var / (1 + kernel_var)) ** (d / 2)
-    first_term = (kernel_var / (2 + kernel_var)) ** (d / 2)
-    second_term = jnp.mean(jnp.exp(-0.5 * jnp.sum(jnp.square(x), axis=-1) / (1 + kernel_var)))
-    third_term = jnp.mean(jnp.exp(-0.5 * _pdist_sq(x) / kernel_var))
-    mmd_sq = first_term - 2 * normalizer * second_term + third_term
+def _log_rbf_gaussian_overlap(bw_sq, target_var, copies: int):
+    """log E[k(a, b)] for an RBF kernel of bandwidth² `bw_sq` where the
+    squared distance ||a-b||² is chi-square-like with per-dimension variance
+    `copies * target_var` — i.e. log ∏_d sqrt(bw² / (bw² + copies·v_d)).
 
-    if standardize:
-        ugly = 2 * (kernel_var ** 2 / ((1 + kernel_var) * (3 + kernel_var))) ** (d / 2)
-        variance = (2 / (n * (n - 1))) * (
-            first_term ** 2 + (kernel_var / (4 + kernel_var)) ** (d / 2) - ugly)
-        mmd_sq = mmd_sq / variance ** 0.5
-    return mmd_sq
+    This is the one closed form every Gaussian-vs-Gaussian RBF expectation
+    reduces to: the kernel-vs-target cross term uses copies=1, the
+    target-vs-target term copies=2, and the null-variance correction terms
+    copies=3 and 4. Kept in the log domain so large d doesn't underflow.
+    """
+    return 0.5 * jnp.sum(
+        math.log(bw_sq) - jnp.log(bw_sq + copies * target_var), axis=-1)
 
 
 def custom_gaussian_rbf_mmd_sq(x, mean, var, standardize: bool = True):
-    """Unbiased squared MMD between x's distribution and a diagonal Gaussian
-    N(mean, diag(var)) with a Gaussian RBF kernel (math_utils.py:128-153),
-    log-domain determinants for stability. With mean=0, var=1 this reduces
-    exactly to analytic_gaussian_rbf_mmd_sq (tested). var: [D] (or any shape
-    broadcastable against x's rows, like the reference).
+    """Unbiased squared MMD between the empirical distribution of x's rows
+    and a diagonal Gaussian N(mean, diag(var)), under an RBF kernel with
+    bandwidth² = d/8 (semantics of the reference's estimator,
+    math_utils.py:128-153; decomposition is ours — see
+    _log_rbf_gaussian_overlap). var broadcasts against x's rows.
+
+    MMD² = E_pp[k] - 2·E_xp[k] + E_xx[k]; `standardize` divides by the
+    standard error of the estimator under the null (x ~ target), turning the
+    statistic into a z-score like the WAE papers report.
     """
     n, d = x.shape
-    kernel_var = 0.125 * d
-    var = jnp.asarray(var)
-    var_sum = kernel_var + var
+    bw_sq = 0.125 * d
+    var = jnp.broadcast_to(jnp.asarray(var, x.dtype), (d,))
 
-    kernel_logvar = math.log(kernel_var)
-    cov_logdet1 = 0.5 * jnp.sum(jnp.log(var_sum), axis=-1)
-    cov_logdet2 = 0.5 * jnp.sum(jnp.log(2 * var + kernel_var), axis=-1)
-    normalizer = jnp.exp(kernel_logvar * d / 2 - cov_logdet1)
-    first_term = jnp.exp(kernel_logvar * d / 2 - cov_logdet2)
-    second_term = jnp.mean(
-        jnp.exp(-0.5 * jnp.sum(jnp.square(x - mean) / var_sum, axis=-1)))
-    third_term = jnp.mean(jnp.exp(-0.5 * _pdist_sq(x) / kernel_var))
-    mmd_sq = first_term - 2 * normalizer * second_term + third_term
+    # Target-vs-target and x-vs-target expectations in closed form; only the
+    # x-vs-x term needs the empirical pairwise distances.
+    log_pp = _log_rbf_gaussian_overlap(bw_sq, var, copies=2)
+    log_xp_scale = _log_rbf_gaussian_overlap(bw_sq, var, copies=1)
+    xp_quad = jnp.sum(jnp.square(x - mean) / (bw_sq + var), axis=-1)
+    e_pp = jnp.exp(log_pp)
+    e_xp = jnp.mean(jnp.exp(log_xp_scale - 0.5 * xp_quad))
+    e_xx = jnp.mean(jnp.exp(-0.5 * _pdist_sq(x) / bw_sq))
+    mmd_sq = e_pp - 2.0 * e_xp + e_xx
 
     if standardize:
-        cov_logdet3 = 0.5 * jnp.sum(jnp.log(3 * var + kernel_var), axis=-1)
-        cov_logdet4 = 0.5 * jnp.sum(jnp.log(4 * var + kernel_var), axis=-1)
-        ugly = jnp.exp(math.log(2) + kernel_logvar * d
-                       - cov_logdet1 - cov_logdet3)
-        variance = 2 / (n * (n - 1)) * (
-            jnp.square(first_term)
-            + jnp.exp(kernel_logvar * d / 2 - cov_logdet4) - ugly)
-        mmd_sq = mmd_sq / jnp.sqrt(variance)
+        # Var_null[MMD²] for the unbiased U-statistic: 2/(n(n-1)) ·
+        # (E_pp² + overlap(4) − 2·overlap(1)·overlap(3)), all log-domain.
+        log_o3 = _log_rbf_gaussian_overlap(bw_sq, var, copies=3)
+        log_o4 = _log_rbf_gaussian_overlap(bw_sq, var, copies=4)
+        null_var = (2.0 / (n * (n - 1))) * (
+            jnp.exp(2.0 * log_pp) + jnp.exp(log_o4)
+            - 2.0 * jnp.exp(log_xp_scale + log_o3))
+        mmd_sq = mmd_sq / jnp.sqrt(null_var)
     return mmd_sq
+
+
+def analytic_gaussian_rbf_mmd_sq(x, standardize: bool = True):
+    """custom_gaussian_rbf_mmd_sq specialized to a standard-normal target
+    (reference math_utils.py:107-126)."""
+    return custom_gaussian_rbf_mmd_sq(x, 0.0, 1.0, standardize=standardize)
 
 
 def gaussian_imq_mmd_sq(x, rng, num_prior_samples: int = 1000):

@@ -380,3 +380,53 @@ class TestShardMapSPMD:
         for key in s0:
             np.testing.assert_allclose(np.asarray(s1[key]),
                                        np.asarray(s0[key]), rtol=1e-6)
+
+
+class TestComposeLossLinearity:
+    """The sharded-gradient contract: compose_loss must be linear in sums
+    (see parallel.spmd.assert_compose_loss_linear and the objective
+    docstrings). Run this check against every objective branch."""
+
+    def test_ar_objective_linear(self):
+        from sparse_vae_tpu.parallel.spmd import assert_compose_loss_linear
+        obj = ARObjective()
+        sums = {"nll_sum": jnp.asarray(37.5)}
+        counts = {"token_count": jnp.asarray(13.0)}
+        assert_compose_loss_linear(obj, sums, counts, step=5)
+
+    def test_vae_objective_linear_elbo_branch(self):
+        from sparse_vae_tpu.models.vae import (ContinuousVAEHparams,
+                                               VAEObjective)
+        from sparse_vae_tpu.parallel.spmd import assert_compose_loss_linear
+        obj = VAEObjective(ContinuousVAEHparams(
+            kl_annealing_steps=100, kl_weight_start=0.1))
+        sums = {"nll_sum": jnp.asarray(37.5), "kl_sum": jnp.asarray(2.5),
+                "raw_kl_sum": jnp.asarray(60.0),
+                "marginal_kl_rows": jnp.asarray(1.25)}
+        counts = {"token_count": jnp.asarray(13.0),
+                  "row_count": jnp.asarray(4.0)}
+        assert_compose_loss_linear(obj, sums, counts, step=50)
+
+    def test_vae_objective_linear_dreg_branch(self):
+        from sparse_vae_tpu.models.vae import (ContinuousVAEHparams,
+                                               VAEObjective)
+        from sparse_vae_tpu.parallel.spmd import assert_compose_loss_linear
+        obj = VAEObjective(ContinuousVAEHparams(train_mc_samples=4))
+        sums = {"neg_bound_sum": jnp.asarray(-12.0),
+                "bound_sum": jnp.asarray(12.0)}
+        counts = {"token_count": jnp.asarray(0.0),
+                  "row_count": jnp.asarray(4.0)}
+        assert_compose_loss_linear(obj, sums, counts, step=0)
+
+    def test_detects_nonlinear_composition(self):
+        from sparse_vae_tpu.parallel.spmd import assert_compose_loss_linear
+
+        class Bad:
+            def compose_loss(self, sums, counts, step):
+                # log of a sum: grads differ between local and global sums
+                return jnp.log(sums["s"]) / counts["n"], {}
+
+        with pytest.raises(AssertionError):
+            assert_compose_loss_linear(
+                Bad(), {"s": jnp.asarray(3.0)}, {"n": jnp.asarray(2.0)},
+                step=0)

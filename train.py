@@ -28,6 +28,13 @@ def main(args):
 
     apply_platform_env()
     cfg = assemble_config(experiment, args[2:])
+    if cfg.from_checkpoint:
+        # Resume with the run's exact saved hparams as the base; CLI dotlist
+        # keys still win (e.g. trainer.max_steps=8000 lifts a step cap).
+        from sparse_vae_tpu.training.checkpointing import load_run_meta
+        meta = load_run_meta(experiment, cfg.name)
+        if meta:
+            cfg = assemble_config(experiment, args[2:], base_meta=meta)
     seed_everything(cfg.trainer.seed)
 
     if cfg.anomaly_detection:

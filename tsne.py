@@ -25,6 +25,8 @@ def main(args):
     dataset = Dataset.load_from_disk(str(save_path))
     latents = np.asarray(dataset["latent"], dtype=np.float32)
     titles = list(dataset["title"]) if "title" in dataset.column_names else []
+    doc_indices = (list(dataset["doc_index"])
+                   if "doc_index" in dataset.column_names else None)
 
     try:
         from sklearn.manifold import TSNE
@@ -45,7 +47,8 @@ def main(args):
     plt.savefig("sparse-vae-tsne.png")
     print("Saved sparse-vae-tsne.png")
 
-    topics = fit_lda_topics(experiment, name, titles, args[3:])
+    topics = fit_lda_topics(experiment, name, titles, args[3:],
+                            doc_indices=doc_indices)
     if topics is None:
         return
     plt.figure()
@@ -56,13 +59,15 @@ def main(args):
 
 
 def fit_lda_topics(experiment, name, titles, data_dotlist,
-                   num_topics: int = 10):
+                   num_topics: int = 10, doc_indices=None):
     """Per-latent dominant LDA topic ids, or None when unavailable.
 
     Rebuilds the tokenized corpus (the reference re-ran
-    TextDataModule.prepare_data for its LDA pass, tsne.py:45-47), fits
-    sklearn LDA on bag-of-token-ids counts, and maps each gathered latent to
-    its document's argmax topic via the shared titles."""
+    TextDataModule.prepare_data for its LDA pass, tsne.py:45-47) and fits
+    sklearn LDA on bag-of-token-ids counts. Latents are joined to documents
+    by the gathered `doc_index` column (stable position in train-then-test
+    order) when present; the legacy title join is a fallback that reports
+    duplicate/unmatched titles instead of silently mislabeling."""
     try:
         from scipy.sparse import csr_matrix
         from sklearn.decomposition import LatentDirichletAllocation
@@ -102,7 +107,23 @@ def fit_lda_topics(experiment, name, titles, data_dotlist,
     doc_topics = np.argmax(lda.fit_transform(bow), axis=-1)
     print("LDA perplexity:", round(float(lda.perplexity(bow)), 1))
 
+    if doc_indices is not None:
+        idx = np.asarray(doc_indices, dtype=np.int64)
+        if idx.size and idx.max() < len(doc_topics):
+            return doc_topics[idx]
+        print(f"doc_index out of range for the rebuilt corpus "
+              f"(max {int(idx.max()) if idx.size else -1} vs "
+              f"{len(doc_topics)} docs) — data hparams differ from the "
+              "gather run; falling back to the title join")
+
+    from collections import Counter
+    dup = sum(c - 1 for c in Counter(doc_titles).values() if c > 1)
     by_title = dict(zip(doc_titles, doc_topics))
+    missing = sum(1 for t in titles if t not in by_title)
+    if dup or missing:
+        print(f"Title join: {dup} duplicate corpus titles collapsed, "
+              f"{missing}/{len(titles)} gathered titles unmatched "
+              "(defaulting those points to topic 0)")
     return np.array([by_title.get(t, 0) for t in titles], dtype=np.int64)
 
 
