@@ -105,6 +105,40 @@ class TokenizedCorpus:
         return {"train": take(train_idx), "test": take(test_idx)}
 
 
+def concatenate_into_streams(corpus: TokenizedCorpus,
+                             stream_tokens: int) -> TokenizedCorpus:
+    """PG-19-style long-document streams: concatenate the tokenized corpus
+    (in document order) into samples of exactly `stream_tokens` tokens.
+
+    The reference's pg19 experiment trains on 102,400-token documents
+    (/root/reference/hparam_presets.py:150-157) — PG-19 books are single
+    long streams. Corpora without book-length documents (local-prose) get
+    the same regime by packing documents back-to-back; byte counts are
+    apportioned by each document's bytes-per-token rate so bits-per-byte
+    stays exact in total. Position 0 of every stream is set to [CLS] to
+    preserve the pipeline's CLS-at-0 contract (sparse attention's
+    always-attend-CLS block, VAE z-injection); position 0 is never a
+    next-token label, so no prediction target is corrupted.
+    """
+    if not corpus.docs:
+        return corpus
+    tokens = np.concatenate(corpus.docs)
+    rates = np.concatenate([
+        np.full(len(d), corpus.num_bytes[i] / max(len(d), 1))
+        for i, d in enumerate(corpus.docs)])
+    cum = np.concatenate([[0.0], np.cumsum(rates)])
+    docs, num_bytes, titles = [], [], []
+    for j, start in enumerate(range(0, len(tokens), stream_tokens)):
+        piece = tokens[start:start + stream_tokens].copy()
+        piece[0] = CLS_ID
+        docs.append(piece)
+        num_bytes.append(int(round(cum[start + len(piece)] - cum[start])))
+        titles.append(f"stream-{j}")
+    return TokenizedCorpus(docs=docs,
+                           num_bytes=np.asarray(num_bytes, dtype=np.int64),
+                           titles=titles)
+
+
 # ---------------------------------------------------------------------------
 # Synthetic corpus (deterministic, structured enough for BPE + LM training)
 # ---------------------------------------------------------------------------

@@ -27,6 +27,10 @@ class TextDataModuleHparams:
     used by its eval scripts (SURVEY.md §2.9) — here it exists for real."""
     tokens_per_batch: int = 50_000
     chunk_documents: bool = False
+    # PG-19-style regime for corpora without book-length documents:
+    # concatenate the tokenized docs into max_tokens_per_sample-token
+    # streams (datasets.concatenate_into_streams) before filtering/splitting.
+    concat_documents: bool = False
     dataset_name: str = "synthetic"
     dataset_config: Optional[str] = None
     dataset_path: Optional[str] = None
@@ -106,6 +110,10 @@ class TextDataModule:
                                     max_tokens=hp.max_tokens_per_sample)
             if use_cache:
                 corpus.save(cache)
+        if hp.concat_documents:
+            from .datasets import concatenate_into_streams
+            corpus = concatenate_into_streams(corpus,
+                                              hp.max_tokens_per_sample)
         corpus = corpus.filter_by_length(hp.min_tokens_per_sample,
                                          hp.max_tokens_per_sample)
         test_size = hp.test_size

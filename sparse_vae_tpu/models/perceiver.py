@@ -23,12 +23,15 @@ class Perceiver(nn.Module):
     bottleneck_width: Optional[int] = None
     init_scale: Optional[float] = 0.02
     dtype: Any = jnp.float32
+    tp_size: int = 1          # tensor parallelism, see parallel/tp.py
+    tp_axis: str = "model"
 
     def setup(self):
         assert self.num_layers > 1
         num_heads = max(1, self.d_model // 64)
         common = dict(d_model=self.d_model, num_heads=num_heads,
-                      dtype=self.dtype)
+                      dtype=self.dtype, tp_size=self.tp_size,
+                      tp_axis=self.tp_axis)
         self.first_layer = TransformerLayer(
             learned_queries=self.num_latents, **common)
         middle = self.num_layers - 1

@@ -29,6 +29,11 @@ class TransformerLayer(nn.Module):
     dropout_rate: float = 0.1
     use_pallas_kernel: bool = True
     dtype: Any = jnp.float32
+    # Tensor parallelism (parallel/tp.py): ffn_in is column-parallel,
+    # ffn_out row-parallel (bias-free, so one psum closes it); attention
+    # shards its heads. tp_size=1 is the old behavior exactly.
+    tp_size: int = 1
+    tp_axis: str = "model"
 
     def setup(self):
         self.attention = Attention(
@@ -36,10 +41,11 @@ class TransformerLayer(nn.Module):
             causal=self.causal, sparse=self.sparse_self_attention,
             window_size=self.window_size, block_size=self.block_size,
             learned_queries=self.learned_queries,
-            use_pallas_kernel=self.use_pallas_kernel, dtype=self.dtype)
+            use_pallas_kernel=self.use_pallas_kernel, dtype=self.dtype,
+            tp_size=self.tp_size, tp_axis=self.tp_axis)
         init = dense_kernel_init(0.02)
-        self.ffn_in = nn.Dense(self.d_model * 4, kernel_init=init,
-                               dtype=self.dtype)
+        self.ffn_in = nn.Dense(self.d_model * 4 // self.tp_size,
+                               kernel_init=init, dtype=self.dtype)
         self.ffn_out = nn.Dense(self.d_model, use_bias=False,
                                 kernel_init=init, dtype=self.dtype)
         self.dropout = nn.Dropout(rate=self.dropout_rate)
@@ -48,13 +54,20 @@ class TransformerLayer(nn.Module):
         if self.use_cross_attention:
             self.cross_attention = Attention(
                 d_model=self.d_model, num_heads=self.num_heads,
-                dtype=self.dtype)
+                dtype=self.dtype,
+                tp_size=self.tp_size, tp_axis=self.tp_axis)
             self.cross_attn_layer_norm = nn.LayerNorm(dtype=self.dtype)
             self.context_layer_norm = nn.LayerNorm(dtype=self.dtype)
 
     def _ffn(self, x, deterministic):
         y = self.ffn_layer_norm(x)
-        y = self.ffn_out(nn.gelu(self.ffn_in(y)))
+        if self.tp_size > 1:
+            from ..parallel.tp import reduce_activations, replicate_gradient
+            y = replicate_gradient(y, self.tp_axis)       # column-parallel in
+            y = self.ffn_out(nn.gelu(self.ffn_in(y)))     # partial (bias-free)
+            y = reduce_activations(y, self.tp_axis)       # row-parallel close
+        else:
+            y = self.ffn_out(nn.gelu(self.ffn_in(y)))
         return x + self.dropout(y, deterministic=deterministic)
 
     def __call__(self, x, context=None, mask=None, context_mask=None,
@@ -72,6 +85,18 @@ class TransformerLayer(nn.Module):
             x = x + y
 
         return self._ffn(x, deterministic)
+
+    def window_decode(self, x, cache, start):
+        """Active-window pass for frontier Jacobi decoding: like __call__
+        restricted to absolute positions start..start+W-1, attending the
+        frozen-prefix window cache. Returns (out [B, W, D], window (k, v))."""
+        y = self.attn_layer_norm(x)
+        y, kv = self.attention.window_attend(y, cache, start)
+        x = x + y
+        return self._ffn(x, True), kv
+
+    def init_window_cache(self, batch_size: int):
+        return self.attention.init_window_cache(batch_size)
 
     def decode(self, x_t, cache, index):
         """One-token step against this layer's KV cache (no cross-attn path

@@ -49,6 +49,11 @@ class TransformerHparams(LanguageModelHparams):
     # outputs (recompute only elementwise), 'offload' checkpoints dot
     # outputs to host memory instead of recomputing.
     remat_policy: str = "full"          # 'full' | 'dots' | 'offload'
+    # Tensor parallelism: set (via parallel.tp.tp_localize) ONLY on the
+    # per-shard twin module that runs inside shard_map on a 2-D mesh —
+    # attention heads + FFN inner dim sharded over 'model'. The global
+    # module (init / eval outside shard_map / sampling) keeps tp_size=1.
+    tp_size: int = 1
 
 
 class TransformerLanguageModel(nn.Module):
@@ -94,7 +99,8 @@ class TransformerLanguageModel(nn.Module):
                       block_size=hp.attn_block_size,
                       use_cross_attention=hp.cross_attention,
                       use_pallas_kernel=hp.use_pallas_kernel,
-                      dtype=self.dtype, name=f"layer_{i}")
+                      dtype=self.dtype, tp_size=hp.tp_size,
+                      name=f"layer_{i}")
             for i in range(hp.num_layers)
         ]
 
@@ -290,6 +296,47 @@ class TransformerLanguageModel(nn.Module):
 
         return decode_loop(state, logits_fn, caches, sampling, end_token,
                            max_steps=max_steps)
+
+    # -- frontier-windowed parallel decoding --------------------------------
+    def init_window_caches(self, batch_size: int):
+        return [layer.init_window_cache(batch_size)
+                for layer in self.decoder_layers]
+
+    def window_hidden(self, win_tokens, caches, start):
+        """Active-window decoder pass (frontier Jacobi): [B, W] tokens at
+        absolute positions start.. -> ([B, W, D] hidden, per-layer window
+        (k, v))."""
+        x = self.embed(win_tokens)
+        kvs = []
+        for layer, cache in zip(self.decoder_layers, caches):
+            x, kv = layer.window_decode(x, cache, start)
+            kvs.append(kv)
+        return x, tuple(kvs)
+
+    def frontier_generate(self, rng, length: int, batch_size: int = 1,
+                          sampling: SamplingParams = SamplingParams(),
+                          start_token: int = 1, end_token: int = 2,
+                          window_tokens: int = 512,
+                          max_iters: Optional[int] = None):
+        """Non-AR generation with per-pass cost independent of document
+        length: Jacobi iteration restricted to an active window at the
+        convergence frontier (models/parallel_decode.frontier_jacobi_decode).
+        Sparse (sliding-window) models only. Returns (tokens [B, length-1]
+        sans start token, iterations)."""
+        if not self.hparams.sparse_self_attention:
+            raise ValueError("frontier_generate requires the sparse "
+                             "sliding-window attention configuration")
+        from .parallel_decode import (frontier_jacobi_decode,
+                                      push_window_blocks)
+        bs = self.hparams.attn_block_size
+
+        tokens, iters = frontier_jacobi_decode(
+            self.window_hidden, self.project,
+            lambda c, kvs, f: push_window_blocks(c, kvs, f, bs),
+            self.init_window_caches(batch_size),
+            batch_size, length, rng, sampling, start_token, end_token,
+            window_tokens, bs, max_iters)
+        return tokens[:, 1:], iters
 
     def parallel_generate(self, rng, length: int, batch_size: int = 1,
                           sampling: SamplingParams = SamplingParams(),

@@ -46,7 +46,8 @@ class TransformerVAE(TransformerLanguageModel):
             num_layers=max(2, hp.num_layers // 2),
             num_latents=hp.num_encoder_latents,
             d_model=hp.d_model, bottleneck_width=1,
-            init_scale=hp.init_scale, dtype=self.dtype)
+            init_scale=hp.init_scale, dtype=self.dtype,
+            tp_size=hp.tp_size)
         self.q_of_z_given_x = ConditionalGaussian(
             hp.latent_depth, init_scale=hp.init_scale)
         self.z_projections = [
@@ -170,6 +171,48 @@ class TransformerVAE(TransformerLanguageModel):
         state, caches = decode_loop(state, logits_fn, caches, sampling,
                                     end_token, max_steps=max_steps)
         return state, caches, z
+
+    def window_hidden_z(self, win_tokens, caches, start, z):
+        """Active-window decoder pass with the per-layer z-injection: when
+        the window still contains absolute position 0, each layer's input at
+        local position 0 is replaced by its z projection (:117-121)."""
+        x = self.embed(win_tokens)
+        kvs = []
+        for i, (layer, cache) in enumerate(zip(self.decoder_layers, caches)):
+            zh = jnp.broadcast_to(
+                self.z_projections[i](z.astype(self.dtype)),
+                (x.shape[0], 1, x.shape[-1]))
+            x = jnp.where(start == 0,
+                          jnp.concatenate([zh, x[:, 1:]], axis=1), x)
+            x, kv = layer.window_decode(x, cache, start)
+            kvs.append(kv)
+        return x, tuple(kvs)
+
+    def frontier_generate(self, rng, length: int, batch_size: int = 1,
+                          z=None, sampling: SamplingParams = SamplingParams(),
+                          start_token: int = 1, end_token: int = 2,
+                          window_tokens: int = 512,
+                          max_iters: Optional[int] = None):
+        """Frontier-windowed non-AR generation from z (see
+        TransformerLanguageModel.frontier_generate)."""
+        if not self.hparams.sparse_self_attention:
+            raise ValueError("frontier_generate requires the sparse "
+                             "sliding-window attention configuration")
+        from .parallel_decode import (frontier_jacobi_decode,
+                                      push_window_blocks)
+        z_rng, d_rng = jax.random.split(rng)
+        if z is None:
+            z = jax.random.normal(
+                z_rng, (batch_size, 1, self.hparams.latent_depth))
+        bs = self.hparams.attn_block_size
+
+        tokens, iters = frontier_jacobi_decode(
+            lambda w, c, f: self.window_hidden_z(w, c, f, z), self.project,
+            lambda c, kvs, f: push_window_blocks(c, kvs, f, bs),
+            self.init_window_caches(batch_size),
+            batch_size, length, d_rng, sampling, start_token, end_token,
+            window_tokens, bs, max_iters)
+        return tokens[:, 1:], iters
 
     def parallel_generate(self, rng, length: int, batch_size: int = 1,
                           z=None, sampling: SamplingParams = SamplingParams(),

@@ -117,10 +117,26 @@ class Attention(nn.Module):
     max_length: int = 10_000
     use_pallas_kernel: bool = True
     dtype: Any = jnp.float32
+    # Tensor parallelism (parallel/tp.py): tp_size > 1 means this instance
+    # runs INSIDE shard_map on a mesh with a 'model' axis — q/k/v and the
+    # learned-query bank hold 1/tp_size of the heads (column-parallel), the
+    # output projection is row-parallel, and __call__ inserts the f/g
+    # collectives. tp_size=1 (the default, and the global/init module) is
+    # exactly the old behavior.
+    tp_size: int = 1
+    tp_axis: str = "model"
+
+    @property
+    def local_heads(self) -> int:
+        return self.num_heads // self.tp_size
 
     def setup(self):
         init = dense_kernel_init(0.02)
-        d = self.d_model
+        assert self.d_model % self.num_heads == 0
+        assert self.num_heads % self.tp_size == 0, (
+            f"num_heads {self.num_heads} not divisible by tp_size "
+            f"{self.tp_size}")
+        d = self.d_model // self.tp_size
         if self.learned_queries:
             self.learned_query_bank = self.param(
                 "learned_queries", nn.initializers.normal(1.0),
@@ -129,7 +145,8 @@ class Attention(nn.Module):
             self.q_linear = nn.Dense(d, kernel_init=init, dtype=self.dtype)
         self.k_linear = nn.Dense(d, kernel_init=init, dtype=self.dtype)
         self.v_linear = nn.Dense(d, kernel_init=init, dtype=self.dtype)
-        self.output_linear = nn.Dense(d, kernel_init=init, dtype=self.dtype)
+        self.output_linear = nn.Dense(self.d_model, kernel_init=init,
+                                      dtype=self.dtype)
 
     @property
     def rotary_base(self) -> float:
@@ -141,24 +158,47 @@ class Attention(nn.Module):
         if self.learned_queries:
             q = jnp.broadcast_to(
                 self.learned_query_bank.astype(self.dtype),
-                (x_kv.shape[0], self.learned_queries, self.d_model))
+                (x_kv.shape[0], self.learned_queries,
+                 self.d_model // self.tp_size))
         else:
             q = self.q_linear(x_q)
-            q = split_heads(q, self.num_heads)
+            q = split_heads(q, self.local_heads)
             q = apply_rotary(q, self.rotary_base, offset=pos_offset)
             q = merge_heads(q)
         k = self.k_linear(x_kv)
-        k = merge_heads(apply_rotary(split_heads(k, self.num_heads),
+        k = merge_heads(apply_rotary(split_heads(k, self.local_heads),
                                      self.rotary_base))
         v = self.v_linear(x_kv)
         return q, k, v
+
+    def _finalize(self, out_heads):
+        """Merge heads and close the output projection (row-parallel under
+        TP: each shard's matmul is partial, one psum over 'model' completes
+        it; the replicated bias — added by every shard — is evaluated once
+        via a zero input and kept out of the reduction)."""
+        merged = merge_heads(out_heads)
+        y = self.output_linear(merged)
+        if self.tp_size > 1:
+            from ..parallel.tp import reduce_activations
+            bias = self.output_linear(
+                jnp.zeros((1, 1, merged.shape[-1]), merged.dtype))
+            y = reduce_activations(y - bias, self.tp_axis) + bias
+        return y
 
     def __call__(self, x_q, x_kv, kv_mask=None):
         """Full-sequence attention. x_q: [B, Lq, D] (ignored when
         learned_queries), x_kv: [B, Lk, D], kv_mask: [B, Lk] bool
         (True = valid key position)."""
+        if self.tp_size > 1:
+            # Column-parallel entry: activations are replicated over
+            # 'model' but each shard's q/k/v slices produce only a partial
+            # input cotangent — mark for a backward psum (g collective).
+            from ..parallel.tp import replicate_gradient
+            same = x_q is x_kv
+            x_kv = replicate_gradient(x_kv, self.tp_axis)
+            x_q = x_kv if same else replicate_gradient(x_q, self.tp_axis)
         q, k, v = self._project(x_q, x_kv)
-        q, k, v = (split_heads(t, self.num_heads) for t in (q, k, v))
+        q, k, v = (split_heads(t, self.local_heads) for t in (q, k, v))
         lq, lk = q.shape[-2], k.shape[-2]
 
         if self.sparse and self.learned_queries is None:
@@ -171,7 +211,7 @@ class Attention(nn.Module):
                     q, k, v, kv_mask, window_size=self.window_size,
                     block_size=self.block_size, causal=self.causal,
                     force_xla=not self.use_pallas_kernel)
-                return self.output_linear(merge_heads(out))
+                return self._finalize(out)
             mask = sliding_window_token_mask(
                 lq, lk, self.block_size, self.window_size, self.causal)
             mask = mask[None, None]
@@ -209,7 +249,7 @@ class Attention(nn.Module):
                 out = flash_attention(q, k, v, segment_ids=seg, causal=True,
                                       sm_scale=q.shape[-1] ** -0.5,
                                       block_sizes=blocks)
-                return self.output_linear(merge_heads(out))
+                return self._finalize(out)
             mask = (jnp.arange(lk)[None, :] <= jnp.arange(lq)[:, None]
                     )[None, None]
         else:
@@ -220,7 +260,104 @@ class Attention(nn.Module):
             mask = pad if mask is None else (mask & pad)
 
         out = dense_attention(q, k, v, mask)
-        return self.output_linear(merge_heads(out))
+        return self._finalize(out)
+
+    # -- frontier-window decoding (parallel_decode.frontier_jacobi) ---------
+    def init_window_cache(self, batch_size: int):
+        """K/V stores for frontier-windowed parallel decoding (sparse
+        models): the CLS block plus the `window_size`-block band of frozen
+        context immediately left of the frontier. Validity of entries is
+        derived from the frontier position (see window_attend), so zeros
+        suffice here."""
+        assert self.sparse, "frontier windowing needs the sparse band"
+        head_dim = self.d_model // self.num_heads
+        cls = (batch_size, self.local_heads, self.block_size, head_dim)
+        ctx = (batch_size, self.local_heads,
+               self.window_size * self.block_size, head_dim)
+        return {"cls_k": jnp.zeros(cls, self.dtype),
+                "cls_v": jnp.zeros(cls, self.dtype),
+                "ctx_k": jnp.zeros(ctx, self.dtype),
+                "ctx_v": jnp.zeros(ctx, self.dtype)}
+
+    def _window_mask(self, start, num_q: int):
+        """[num_q, bs + ctx + num_q] validity mask for window_attend.
+
+        Query i sits at absolute position start + i (start is a traced
+        int32, always a block multiple). Keys are [CLS block | ctx band |
+        window]; training semantics (sliding_window_block_mask): block qb
+        attends blocks qb-window_size+1..qb plus block 0, causal inside the
+        diagonal block."""
+        bs, ws = self.block_size, self.window_size
+        ctx_len = ws * bs
+        q_abs = start + jnp.arange(num_q)                    # [Q]
+        qb = q_abs // bs
+
+        # CLS store: holds block 0 once it is frozen (start >= bs). Not
+        # consulted while block 0 is still inside the window.
+        cls_abs = jnp.arange(bs)
+        cls_ok = jnp.broadcast_to(start >= bs, (num_q, bs))
+
+        # Context band: slot j holds absolute position start - ctx_len + j.
+        # Valid iff it exists (>= 0), is not block 0 (served by the CLS
+        # store), and lies in the query's band.
+        ctx_abs = start - ctx_len + jnp.arange(ctx_len)
+        ctx_b = ctx_abs // bs
+        ctx_ok = ((ctx_abs[None, :] >= 0)
+                  & (ctx_b[None, :] >= 1)
+                  & (ctx_b[None, :] > qb[:, None] - ws))
+
+        # Window keys: causal, in-band, or block 0 (when the window still
+        # contains it).
+        k_abs = start + jnp.arange(num_q)
+        kb = k_abs // bs
+        win_ok = ((k_abs[None, :] <= q_abs[:, None])
+                  & ((kb[None, :] > qb[:, None] - ws) | (kb[None, :] == 0)))
+
+        return jnp.concatenate([cls_ok, ctx_ok, win_ok], axis=1)
+
+    def window_attend(self, x, cache, start):
+        """Multi-token attention for the active Jacobi window.
+
+        x: [B, W, D] window inputs at absolute positions start..start+W-1;
+        cache: init_window_cache dict for the frozen prefix. Returns
+        (attention output [B, W, D], (k, v) of the window — the caller
+        pushes the leading block into the cache when it freezes). Matches
+        the training-time sparse mask exactly for frozen prefixes."""
+        q = apply_rotary(split_heads(self.q_linear(x), self.local_heads),
+                         self.rotary_base, offset=start)
+        k_w = apply_rotary(split_heads(self.k_linear(x), self.local_heads),
+                           self.rotary_base, offset=start)
+        v_w = split_heads(self.v_linear(x), self.local_heads)
+
+        dt = cache["ctx_k"].dtype
+        k_all = jnp.concatenate(
+            [cache["cls_k"], cache["ctx_k"], k_w.astype(dt)], axis=2)
+        v_all = jnp.concatenate(
+            [cache["cls_v"], cache["ctx_v"], v_w.astype(dt)], axis=2)
+        mask = self._window_mask(start, x.shape[1])
+        out = dense_attention(q, k_all, v_all, mask[None, None])
+        return self._finalize(out), (k_w, v_w)
+
+    @staticmethod
+    def push_window_block(cache, kv, start, block_size: int):
+        """Freeze the window's leading block: its k/v enter the CLS store
+        when it is block 0, else the context band (rolled left one block).
+        start = absolute position of the block being frozen."""
+        k_w, v_w = kv
+        k_b = k_w[:, :, :block_size].astype(cache["ctx_k"].dtype)
+        v_b = v_w[:, :, :block_size].astype(cache["ctx_v"].dtype)
+
+        def to_cls(c):
+            return {**c, "cls_k": k_b, "cls_v": v_b}
+
+        def to_ctx(c):
+            ctx_k = jnp.roll(c["ctx_k"], -block_size, axis=2)
+            ctx_v = jnp.roll(c["ctx_v"], -block_size, axis=2)
+            ctx_k = ctx_k.at[:, :, -block_size:].set(k_b)
+            ctx_v = ctx_v.at[:, :, -block_size:].set(v_b)
+            return {**c, "ctx_k": ctx_k, "ctx_v": ctx_v}
+
+        return jax.lax.cond(start < block_size, to_cls, to_ctx, cache)
 
     # -- incremental decoding ----------------------------------------------
     def init_cache(self, batch_size: int, max_length: int):
@@ -237,14 +374,14 @@ class Attention(nn.Module):
         """
         head_dim = self.d_model // self.num_heads
         if self.sparse:
-            ring = (batch_size, self.num_heads,
+            ring = (batch_size, self.local_heads,
                     self.window_size * self.block_size, head_dim)
-            cls = (batch_size, self.num_heads, self.block_size, head_dim)
+            cls = (batch_size, self.local_heads, self.block_size, head_dim)
             return {"k_ring": jnp.zeros(ring, self.dtype),
                     "v_ring": jnp.zeros(ring, self.dtype),
                     "k_cls": jnp.zeros(cls, self.dtype),
                     "v_cls": jnp.zeros(cls, self.dtype)}
-        shape = (batch_size, self.num_heads, max_length, head_dim)
+        shape = (batch_size, self.local_heads, max_length, head_dim)
         return {"k": jnp.zeros(shape, self.dtype),
                 "v": jnp.zeros(shape, self.dtype)}
 
@@ -291,7 +428,7 @@ class Attention(nn.Module):
         out = dense_attention(q, k_all, v_all, valid[None, None, None, :])
         cache = {"k_ring": k_ring, "v_ring": v_ring,
                  "k_cls": k_cls, "v_cls": v_cls}
-        return self.output_linear(merge_heads(out)), cache
+        return self._finalize(out), cache
 
     def decode(self, x_t, cache, index):
         """One-token attention (x_t: [B, 1, D]) against a KV cache.
@@ -303,11 +440,11 @@ class Attention(nn.Module):
         sparse models use the O(window) block-ring cache (init_cache).
         """
         q = self.q_linear(x_t)
-        q = apply_rotary(split_heads(q, self.num_heads), self.rotary_base,
+        q = apply_rotary(split_heads(q, self.local_heads), self.rotary_base,
                          offset=index)
-        k_t = apply_rotary(split_heads(self.k_linear(x_t), self.num_heads),
+        k_t = apply_rotary(split_heads(self.k_linear(x_t), self.local_heads),
                            self.rotary_base, offset=index)
-        v_t = split_heads(self.v_linear(x_t), self.num_heads)
+        v_t = split_heads(self.v_linear(x_t), self.local_heads)
 
         if "k_ring" in cache:
             return self._decode_ring(q, k_t, v_t, cache, index)
@@ -329,4 +466,4 @@ class Attention(nn.Module):
             valid = valid & ((kb > qb - self.window_size) | (kb == 0))
         out = dense_attention(q, cache["k"], cache["v"],
                               valid[None, None, None, :])
-        return self.output_linear(merge_heads(out)), cache
+        return self._finalize(out), cache

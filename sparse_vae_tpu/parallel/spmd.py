@@ -112,7 +112,20 @@ def make_train_step(module, objective, optimizer,
     gradients, train.py:19). metrics are means over microbatches plus
     grad_norm (of the clipped-input gradient, language_model.py:120-122).
     params/opt_state buffers are donated.
+
+    On a 2-D mesh (model axis > 1), `module` must be the TP-localized twin
+    (parallel.tp.tp_localize): params enter with the tp_param_specs
+    shardings (attention heads / FFN inner dim / learned-query banks sliced
+    over 'model'), activations stay replicated over 'model', and the f/g
+    collectives inside the module close the partial matmuls. Gradients of
+    model-sharded params are local to their shard (psum over 'data' only —
+    exactly the global gradient of that slice); replicated params' grads
+    are identical across model shards. The optimizer must be built with
+    make_optimizer(tp_size=...) so the global-norm clip psums sharded
+    leaves' norms over 'model' (tp_global_norm) — a local norm would let
+    shards clip differently and silently diverge.
     """
+    tp_size = mesh.shape.get("model", 1) if mesh is not None else 1
 
     def micro_grads(params, mb, step, rng):
         if mesh is None:
@@ -168,25 +181,56 @@ def make_train_step(module, objective, optimizer,
             # losses are partial (each device holds its shard's terms).
             grads = jax.lax.psum(grads, DATA_AXIS)
         grads = jax.tree.map(lambda g: g / k, grads)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        if tp_size > 1:
+            from .tp import tp_global_norm, tp_sharded_mask
+            metrics["grad_norm"] = tp_global_norm(
+                grads, tp_sharded_mask(grads, tp_size))
+        else:
+            metrics["grad_norm"] = optax.global_norm(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 
-    if mesh is not None:
-        rep = P()
-        core = jax.shard_map(
+    if mesh is None:
+        return jax.jit(core, donate_argnums=(0, 1))
+
+    rep = P()
+    if tp_size == 1:
+        mapped = jax.shard_map(
             core, mesh=mesh,
             in_specs=(rep, rep, P(None, DATA_AXIS), rep, rep),
             out_specs=(rep, rep, rep),
             check_vma=False,
         )
-    return jax.jit(core, donate_argnums=(0, 1))
+        return jax.jit(mapped, donate_argnums=(0, 1))
+
+    # 2-D mesh: the param/opt-state specs depend on the pytree structure,
+    # which is only known at the first call — build the shard_map lazily.
+    from .tp import tp_param_specs
+    cache = {}
+
+    def step_fn(params, opt_state, batch, step, rng):
+        if "fn" not in cache:
+            p_specs = tp_param_specs(params, tp_size)
+            o_specs = tp_param_specs(opt_state, tp_size)
+            mapped = jax.shard_map(
+                core, mesh=mesh,
+                in_specs=(p_specs, o_specs, P(None, DATA_AXIS), rep, rep),
+                out_specs=(p_specs, o_specs, rep),
+                check_vma=False,
+            )
+            cache["fn"] = jax.jit(mapped, donate_argnums=(0, 1))
+        return cache["fn"](params, opt_state, batch, step, rng)
+
+    return step_fn
 
 
 def make_eval_step(module, objective, mesh: Optional[Mesh] = None):
     """Jitted eval step returning the objective's summed eval statistics
-    (psum'd over 'data' when sharded — exact, since eval_stats are sums)."""
+    (psum'd over 'data' when sharded — exact, since eval_stats are sums).
+    On a 2-D mesh pass the TP-localized module; params enter sharded per
+    tp_param_specs and every model shard computes identical stats."""
+    tp_size = mesh.shape.get("model", 1) if mesh is not None else 1
 
     def core(params, batch, rng):
         stats = objective.eval_stats(module, params, batch, rng)
@@ -194,12 +238,32 @@ def make_eval_step(module, objective, mesh: Optional[Mesh] = None):
             stats = jax.lax.psum(stats, DATA_AXIS)
         return stats
 
-    if mesh is not None:
-        rep = P()
-        core = jax.shard_map(
+    if mesh is None:
+        return jax.jit(core)
+
+    rep = P()
+    if tp_size == 1:
+        mapped = jax.shard_map(
             core, mesh=mesh,
             in_specs=(rep, P(DATA_AXIS), rep),
             out_specs=rep,
             check_vma=False,
         )
-    return jax.jit(core)
+        return jax.jit(mapped)
+
+    from .tp import tp_param_specs
+    cache = {}
+
+    def eval_fn(params, batch, rng):
+        if "fn" not in cache:
+            p_specs = tp_param_specs(params, tp_size)
+            mapped = jax.shard_map(
+                core, mesh=mesh,
+                in_specs=(p_specs, P(DATA_AXIS), rep),
+                out_specs=rep,
+                check_vma=False,
+            )
+            cache["fn"] = jax.jit(mapped)
+        return cache["fn"](params, batch, rng)
+
+    return eval_fn

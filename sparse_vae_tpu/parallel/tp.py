@@ -1,0 +1,147 @@
+"""Tensor parallelism for the shard_map production step (SURVEY §2.10).
+
+Megatron-style manual TP composed with the explicit-SPMD data-parallel step
+(parallel/spmd.py) on a 2-D (data, model) mesh: attention heads and the FFN
+inner dimension are sharded over 'model', activations stay replicated over
+'model' (sharded over 'data'), and exactly one all-reduce per attention
+block / per FFN closes the partial sums. The Pallas kernels run untouched on
+per-shard shapes (num_heads/tp_size heads per device) — the whole point of
+the shard_map path is that GSPMD never sees their custom calls.
+
+Collective pair (the classic f/g): because this runs under
+shard_map(check_vma=False), differentiating *through* lax.psum would
+transpose psum to psum and double-count gradients by the axis size (the trap
+parallel/spmd.py documents). The two custom-VJP wrappers below pin the
+correct transfer instead:
+
+- reduce_activations  (f): psum forward, identity backward — closes
+  row-parallel matmuls whose output cotangent is replicated.
+- replicate_gradient  (g): identity forward, psum backward — marks
+  replicated activations consumed by column-parallel layers, whose
+  per-shard weight slices each contribute a partial input cotangent.
+
+Weight layout (matching tp_param_specs):
+- q/k/v projections, ffn_in, learned query banks: column-parallel — kernel
+  P(None, 'model'), bias P('model').
+- attention output projection, ffn_out: row-parallel — kernel
+  P('model', None); biases stay replicated, added once (Attention corrects
+  the m-fold bias after its psum; ffn_out is bias-free).
+- everything else (embeddings, LayerNorms, head, VAE-specific params):
+  replicated.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+MODEL_AXIS = "model"
+
+# Dense submodule names whose kernels are column-parallel (sharded on the
+# OUTPUT feature axis) / row-parallel (sharded on the INPUT feature axis).
+_COLUMN_PARALLEL = ("q_linear", "k_linear", "v_linear", "ffn_in")
+_ROW_PARALLEL = ("output_linear", "ffn_out")
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def reduce_activations(x, axis_name: str):
+    """f: all-reduce partial activations forward; identity backward."""
+    return jax.lax.psum(x, axis_name)
+
+
+def _f_fwd(x, axis_name):
+    return jax.lax.psum(x, axis_name), None
+
+
+def _f_bwd(axis_name, _, ct):
+    return (ct,)
+
+
+reduce_activations.defvjp(_f_fwd, _f_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def replicate_gradient(x, axis_name: str):
+    """g: identity forward; all-reduce the cotangent backward."""
+    return x
+
+
+def _g_fwd(x, axis_name):
+    return x, None
+
+
+def _g_bwd(axis_name, _, ct):
+    return (jax.lax.psum(ct, axis_name),)
+
+
+replicate_gradient.defvjp(_g_fwd, _g_bwd)
+
+
+def _spec_for_path(path, value, tp_size: int):
+    names = [p.key for p in path if hasattr(p, "key")]
+    if tp_size > 1 and names:
+        leaf = names[-1]
+        parent = names[-2] if len(names) >= 2 else ""
+        if leaf == "learned_queries":
+            return P(None, None, MODEL_AXIS)
+        if parent in _COLUMN_PARALLEL:
+            return P(None, MODEL_AXIS) if leaf == "kernel" else P(MODEL_AXIS)
+        if parent in _ROW_PARALLEL and leaf == "kernel":
+            return P(MODEL_AXIS, None)
+    return P()
+
+
+def tp_param_specs(tree, tp_size: int):
+    """PartitionSpec pytree for a params (or optimizer-state) tree.
+
+    Works on optimizer states too because optax embeds the params tree
+    whole, so leaf paths end with the same (submodule, leaf) names. With
+    tp_size == 1 everything is replicated (pure DP — the existing behavior).
+    """
+    return jax.tree_util.tree_map_with_path(
+        lambda path, v: _spec_for_path(path, v, tp_size), tree)
+
+
+def tp_shardings(tree, mesh: Mesh, tp_size: int):
+    return jax.tree.map(lambda spec: NamedSharding(mesh, spec),
+                        tp_param_specs(tree, tp_size))
+
+
+def tp_sharded_mask(tree, tp_size: int):
+    """Bool pytree: True where the leaf is sharded over 'model'. Drives the
+    TP-aware global-norm (sharded leaves' squared norms must be psum'd over
+    'model'; replicated leaves are identical on every shard and must not)."""
+    return jax.tree.map(lambda spec: spec != P(),
+                        tp_param_specs(tree, tp_size))
+
+
+def tp_global_norm(tree, sharded_mask, axis_name: str = MODEL_AXIS):
+    """Global L2 norm of a gradient tree whose leaves are partly sharded
+    over `axis_name` (exact: equals optax.global_norm of the full tree)."""
+    sq = jax.tree.map(lambda g: jnp.sum(jnp.square(g.astype(jnp.float32))),
+                      tree)
+    leaves = jax.tree.leaves(sq)
+    masks = jax.tree.leaves(sharded_mask)
+    local = sum((s for s, m in zip(leaves, masks) if not m),
+                jnp.asarray(0.0, jnp.float32))
+    sharded = sum((s for s, m in zip(leaves, masks) if m),
+                  jnp.asarray(0.0, jnp.float32))
+    return jnp.sqrt(local + jax.lax.psum(sharded, axis_name))
+
+
+def tp_localize(module, tp_size: int):
+    """The per-shard twin of a transformer module: same class, hparams with
+    tp_size set, so every Dense/param declares its LOCAL (sliced) shape and
+    the f/g collectives activate. The global module keeps tp_size=1 for
+    init / eval-outside-shard_map / sampling."""
+    if tp_size <= 1:
+        return module
+    hp = module.hparams
+    if not hasattr(hp, "tp_size"):
+        raise ValueError(
+            f"{type(module).__name__} does not support tensor parallelism "
+            "(model axis > 1); LSTM families are data-parallel only")
+    return type(module)(dataclasses.replace(hp, tp_size=tp_size))

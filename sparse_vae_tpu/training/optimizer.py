@@ -104,6 +104,38 @@ def radam(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def clip_by_tp_global_norm(max_norm: float, tp_size: int,
+                           axis_name: str = "model"
+                           ) -> optax.GradientTransformation:
+    """Global-norm clip whose norm is exact under tensor parallelism.
+
+    Inside shard_map on a 2-D mesh, model-sharded gradient leaves hold only
+    this shard's slice: optax.clip_by_global_norm would compute a different
+    norm on every model shard and the shards would silently diverge. Here
+    the sharded leaves' squared norms are psum'd over `axis_name`
+    (parallel.tp.tp_global_norm) so every shard clips by the same, correct
+    global norm. Clipping semantics match optax.clip_by_global_norm.
+    """
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        from ..parallel.tp import tp_global_norm, tp_sharded_mask
+        g_norm = tp_global_norm(updates, tp_sharded_mask(updates, tp_size),
+                                axis_name)
+        trigger = g_norm < max_norm
+        updates = jax.tree.map(
+            lambda t: jnp.where(trigger, t,
+                                (t / g_norm.astype(t.dtype)) * max_norm),
+            updates)
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(
     lr: float,
     lr_decay_steps: int | None,
@@ -111,12 +143,18 @@ def make_optimizer(
     weight_decay: float = 0.01,
     lamb: bool = False,
     warmup_steps: int = 0,
+    tp_size: int = 1,
 ) -> optax.GradientTransformation:
     """Full training chain: global-norm clip -> RAdam with cosine-decayed lr.
 
     Matches LanguageModel.configure_optimizers + on_after_backward
     (language_model.py:68-78,120-122): clip by global norm at
     `grad_clip_threshold`, then RAdam stepping a per-step cosine schedule.
+
+    tp_size > 1 (the update runs inside shard_map on a 2-D mesh with
+    model-sharded params): the clip norm is computed with a psum over the
+    'model' axis (see clip_by_tp_global_norm). LAMB's per-param trust ratio
+    would need the same treatment and is not supported under TP.
     """
     from ..utils.schedules import cosine_decay_factor, cosine_decay_with_warmup_factor
 
@@ -129,7 +167,14 @@ def make_optimizer(
     else:
         schedule = lr
 
+    if tp_size > 1 and lamb:
+        raise NotImplementedError(
+            "LAMB trust ratios are per-param norms and would be wrong on "
+            "model-sharded params; use lamb=False with tensor parallelism")
+    clip = (clip_by_tp_global_norm(grad_clip_threshold, tp_size)
+            if tp_size > 1 else
+            optax.clip_by_global_norm(grad_clip_threshold))
     return optax.chain(
-        optax.clip_by_global_norm(grad_clip_threshold),
+        clip,
         radam(schedule, weight_decay=weight_decay, lamb=lamb),
     )

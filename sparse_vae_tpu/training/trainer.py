@@ -90,15 +90,22 @@ class Trainer:
         tokens_per_step = (self.data.hparams.tokens_per_batch
                            * self.thp.accumulate_grad_batches)
         lr = scaled_lr(self.hp.lr, tokens_per_step, self.hp.base_batch_size)
+        self._tp_size = mesh.shape.get("model", 1) if mesh is not None else 1
         self.optimizer = make_optimizer(
             lr=lr, lr_decay_steps=self.hp.lr_decay_steps,
             grad_clip_threshold=self.hp.grad_clip_threshold,
-            weight_decay=self.hp.weight_decay, lamb=self.hp.lamb)
+            weight_decay=self.hp.weight_decay, lamb=self.hp.lamb,
+            tp_size=self._tp_size)
 
         from ..parallel.spmd import make_eval_step, make_train_step
-        self._train_step = make_train_step(module, objective, self.optimizer,
-                                           mesh=mesh)
-        self._eval_step = make_eval_step(module, objective, mesh=mesh)
+        # On a 2-D mesh the train/eval steps run the TP-localized twin
+        # module (attention heads + FFN inner dim sharded over 'model');
+        # self.module stays global for init / sampling callbacks.
+        from ..parallel.tp import tp_localize
+        step_module = tp_localize(module, self._tp_size)
+        self._train_step = make_train_step(step_module, objective,
+                                           self.optimizer, mesh=mesh)
+        self._eval_step = make_eval_step(step_module, objective, mesh=mesh)
         self._rows_multiple = mesh.shape["data"] if mesh is not None else 1
 
     # -- setup --------------------------------------------------------------
@@ -107,12 +114,16 @@ class Trainer:
         params = self.module.init(rng, sample)["params"]
         opt_state = self.optimizer.init(params)
         if self.mesh is not None:
-            from ..parallel.mesh import replicated
-            rep = replicated(self.mesh)
-            params = jax.tree.map(lambda x: jax.device_put(x, rep), params)
+            # tp_shardings degenerates to full replication at model axis 1;
+            # with model > 1 the TP-sharded leaves (attention/FFN kernels,
+            # learned-query banks) are distributed over 'model'.
+            from ..parallel.tp import tp_shardings
+            p_sh = tp_shardings(params, self.mesh, self._tp_size)
+            o_sh = tp_shardings(opt_state, self.mesh, self._tp_size)
+            params = jax.tree.map(jax.device_put, params, p_sh)
             opt_state = jax.tree.map(
-                lambda x: jax.device_put(x, rep) if hasattr(x, "ndim")
-                else x, opt_state)
+                lambda x, s: jax.device_put(x, s) if hasattr(x, "ndim")
+                else x, opt_state, o_sh)
         return params, opt_state
 
     def _put(self, arrays, stacked: bool = False):

@@ -287,3 +287,46 @@ class TestHubDatasetPath:
             model, p, batch_arrays(batch), 0, rng)[0])(params)
         assert all(np.all(np.isfinite(np.asarray(g)))
                    for g in jax.tree.leaves(grads))
+
+
+class TestConcatStreams:
+    def test_streams_exact_lengths_and_bytes(self):
+        from sparse_vae_tpu.data.datasets import concatenate_into_streams
+        rng = np.random.default_rng(0)
+        docs = [np.asarray(rng.integers(3, 500, size=n), dtype=np.uint16)
+                for n in (100, 250, 75, 400, 33)]
+        nb = np.asarray([200, 1000, 150, 1600, 66], dtype=np.int64)
+        corpus = TokenizedCorpus(docs=docs, num_bytes=nb)
+        out = concatenate_into_streams(corpus, stream_tokens=256)
+        total = sum(len(d) for d in docs)
+        assert sum(len(d) for d in out.docs) == total
+        assert all(len(d) == 256 for d in out.docs[:-1])
+        assert len(out.docs[-1]) == total - 256 * (len(out.docs) - 1)
+        # CLS-at-0 contract on every stream
+        assert all(d[0] == CLS_ID for d in out.docs)
+        # byte totals preserved (apportioned by per-doc rate, rounded)
+        assert abs(int(out.num_bytes.sum()) - int(nb.sum())) <= len(out.docs)
+        # stream contents = concatenation order (mod the CLS overwrite)
+        cat = np.concatenate(docs)
+        got = np.concatenate(out.docs)
+        mism = np.nonzero(cat != got)[0]
+        starts = set(range(0, total, 256))
+        assert all(i in starts for i in mism)
+
+    def test_datamodule_concat_documents(self, tmp_path_factory):
+        import os
+        work = tmp_path_factory.mktemp("concatwork")
+        cwd = os.getcwd()
+        os.chdir(work)
+        try:
+            dm = TextDataModule(TextDataModuleHparams(
+                dataset_name="synthetic", synthetic_docs=120, vocab_size=512,
+                tokens_per_batch=2048, min_tokens_per_sample=16,
+                max_tokens_per_sample=1024, concat_documents=True,
+                pad_to_multiple_of=128, test_size=2))
+            dm.prepare_data(use_cache=False)
+        finally:
+            os.chdir(cwd)
+        lengths = np.concatenate([dm.splits[s].lengths for s in dm.splits])
+        # all but (at most) the tail stream are exactly max_tokens
+        assert (lengths == 1024).sum() >= len(lengths) - 1

@@ -430,3 +430,178 @@ class TestComposeLossLinearity:
             assert_compose_loss_linear(
                 Bad(), {"s": jnp.asarray(3.0)}, {"n": jnp.asarray(2.0)},
                 step=0)
+
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    """data 4 x model 2 — the 2-D production mesh."""
+    return create_mesh(num_devices=8, model_axis=2,
+                       devices=jax.devices("cpu"))
+
+
+class TestTensorParallelStep:
+    """Tensor parallelism composed with the shard_map production step
+    (parallel/tp.py): attention heads + FFN inner dim sharded over 'model',
+    exact equivalence vs the single-device computation (VERDICT r2 #5)."""
+
+    def _lm(self, sparse=False):
+        from sparse_vae_tpu.models.transformer_lm import (
+            TransformerHparams, TransformerLanguageModel)
+        hp = TransformerHparams(
+            d_model=64, num_heads=4, num_layers=2, vocab_size=512,
+            sparse_self_attention=sparse, attn_window_size=2,
+            attn_block_size=128, use_pallas_kernel=False)
+        return TransformerLanguageModel(hp), hp
+
+    def test_tp_forward_exact(self, mesh2d):
+        from sparse_vae_tpu.parallel.tp import tp_localize, tp_param_specs
+        model, hp = self._lm()
+        tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 128), 0, 512)
+        params = model.init(jax.random.PRNGKey(0), tokens)["params"]
+        ref = model.apply({"params": params}, tokens)
+
+        m_tp = tp_localize(model, 2)
+        p_specs = tp_param_specs(params, 2)
+        mapped = jax.shard_map(
+            lambda p, t: m_tp.apply({"params": p}, t),
+            mesh=mesh2d, in_specs=(p_specs, P("data")),
+            out_specs=P("data"), check_vma=False)
+        out = jax.jit(mapped)(params, tokens)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("sparse", [False, True])
+    def test_tp_lm_train_step_exact_vs_single_device(self, mesh2d, sparse):
+        """Full production train step on data 4 x model 2 == single-device
+        step on the same global batch (deterministic AR objective), dense
+        and sliding-window-sparse attention paths."""
+        import optax
+        from sparse_vae_tpu.parallel.spmd import make_train_step, shard_batch
+        from sparse_vae_tpu.parallel.tp import tp_localize
+
+        model, hp = self._lm(sparse=sparse)
+        objective = ARObjective(hp)
+        optimizer = optax.sgd(1e-2)
+        rng = jax.random.PRNGKey(0)
+        k, b = 2, mesh2d.shape["data"] * 2
+        batch = _uneven_batch(rng, k, b, 128, 512)
+        params = model.init(rng, batch["token_ids"][0])["params"]
+        opt_state = optimizer.init(params)
+
+        clone = lambda t: jax.tree.map(jnp.array, t)
+        sharded = make_train_step(tp_localize(model, 2), objective,
+                                  optimizer, mesh=mesh2d)
+        p1, o1, m1 = sharded(clone(params), clone(opt_state),
+                             shard_batch(batch, mesh2d, stacked=True),
+                             jnp.asarray(0), rng)
+
+        single = make_train_step(model, objective, optimizer, mesh=None)
+        p0, o0, m0 = single(clone(params), clone(opt_state), batch,
+                            jnp.asarray(0), rng)
+
+        _tree_allclose(p1, p0, rtol=2e-5, atol=1e-5)
+        np.testing.assert_allclose(float(m1["loss"]), float(m0["loss"]),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(m1["grad_norm"]),
+                                   float(m0["grad_norm"]), rtol=1e-4)
+
+    def test_tp_vae_train_step_with_radam_clip(self, mesh2d):
+        """TransformerVAE (Perceiver learned queries + cross-attention +
+        z-injection) through the TP step with the real optimizer chain —
+        including the TP-aware global-norm clip — vs a single-device
+        simulation with the pinned per-data-shard RNG semantics."""
+        import optax
+        from sparse_vae_tpu.models.transformer_vae import (
+            TransformerVAE, TransformerVAEHparams)
+        from sparse_vae_tpu.models.vae import VAEObjective
+        from sparse_vae_tpu.parallel.spmd import make_train_step, shard_batch
+        from sparse_vae_tpu.parallel.tp import tp_localize
+        from sparse_vae_tpu.training.optimizer import make_optimizer
+
+        # d_model 128 so the Perceiver's derived head count (d_model//64=2)
+        # divides the model axis; smaller widths are DP-only for the VAE.
+        hp = TransformerVAEHparams(
+            d_model=128, num_heads=4, num_layers=2, latent_depth=8,
+            vocab_size=256, num_encoder_latents=4,
+            sparse_self_attention=False, use_pallas_kernel=False)
+        model = TransformerVAE(hp)
+        objective = VAEObjective(hp)
+        # Tight clip threshold so the clip path actually triggers.
+        opt_tp = make_optimizer(lr=1e-2, lr_decay_steps=1000,
+                                grad_clip_threshold=0.05, tp_size=2)
+        opt_1d = make_optimizer(lr=1e-2, lr_decay_steps=1000,
+                                grad_clip_threshold=0.05)
+
+        rng = jax.random.PRNGKey(0)
+        n_data = mesh2d.shape["data"]
+        k, b = 2, n_data * 2
+        batch = _uneven_batch(rng, k, b, 64, 256)
+        params = model.init({"params": rng, "sample": rng},
+                            batch["token_ids"][0][:1])["params"]
+        opt_state = opt_tp.init(params)
+
+        clone = lambda t: jax.tree.map(jnp.array, t)
+        step_fn = make_train_step(tp_localize(model, 2), objective, opt_tp,
+                                  mesh=mesh2d)
+        step_rng = jax.random.PRNGKey(7)
+        p1, o1, m1 = step_fn(clone(params), clone(opt_state),
+                             shard_batch(batch, mesh2d, stacked=True),
+                             jnp.asarray(0), step_rng)
+
+        rows_per = b // n_data
+
+        def micro_loss(p, i):
+            sums = counts = None
+            for s in range(n_data):
+                rng_s = jax.random.fold_in(step_rng, s)
+                rngs_s = jax.random.split(rng_s, k)
+                mb = {name: arr[i, s * rows_per:(s + 1) * rows_per]
+                      for name, arr in batch.items()}
+                su, co = objective.loss_sums(model, p, mb, 0, rngs_s[i])
+                sums = su if sums is None else jax.tree.map(
+                    jnp.add, sums, su)
+                counts = co if counts is None else jax.tree.map(
+                    jnp.add, counts, co)
+            return objective.compose_loss(sums, counts, 0)
+
+        grads_acc, losses = None, []
+        for i in range(k):
+            (loss_i, _), g = jax.value_and_grad(
+                lambda p: micro_loss(p, i), has_aux=True)(params)
+            losses.append(float(loss_i))
+            grads_acc = g if grads_acc is None else jax.tree.map(
+                jnp.add, grads_acc, g)
+        grads = jax.tree.map(lambda x: x / k, grads_acc)
+        updates, _ = opt_1d.update(grads, opt_1d.init(params), params)
+        p0 = optax.apply_updates(params, updates)
+
+        _tree_allclose(p1, p0, rtol=5e-5, atol=2e-5)
+        np.testing.assert_allclose(float(m1["loss"]), np.mean(losses),
+                                   rtol=1e-5)
+
+    def test_tp_global_norm_matches_full_tree(self, mesh2d):
+        """tp_global_norm (sharded leaves psum'd over 'model') == the plain
+        global norm of the full tree."""
+        import optax
+        from sparse_vae_tpu.parallel.tp import (tp_global_norm,
+                                                tp_param_specs,
+                                                tp_sharded_mask)
+        model, hp = self._lm()
+        tokens = jnp.zeros((2, 128), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), tokens)["params"]
+        ref = float(optax.global_norm(params))
+
+        p_specs = tp_param_specs(params, 2)
+        mapped = jax.shard_map(
+            lambda p: tp_global_norm(p, tp_sharded_mask(p, 2)),
+            mesh=mesh2d, in_specs=(p_specs,), out_specs=P(),
+            check_vma=False)
+        got = float(jax.jit(mapped)(params))
+        np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+    def test_tp_localize_rejects_lstm(self):
+        from sparse_vae_tpu.parallel.tp import tp_localize
+        model = LSTMLanguageModel(LSTMLanguageModelHparams(
+            d_embedding=8, d_model=16, vocab_size=64))
+        with pytest.raises(ValueError, match="data-parallel only"):
+            tp_localize(model, 2)

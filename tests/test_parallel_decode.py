@@ -158,3 +158,96 @@ class TestJacobiVAE:
             {"params": params}, jax.random.PRNGKey(0), 16, 2, z, GREEDY,
             chunk_size=8, method=model.parallel_generate)
         np.testing.assert_array_equal(np.asarray(ar), np.asarray(pj))
+
+
+def sparse_lm_hparams(**kw):
+    defaults = dict(d_model=32, num_heads=4, num_layers=2, vocab_size=128,
+                    sparse_self_attention=True, attn_window_size=2,
+                    attn_block_size=32, use_pallas_kernel=False)
+    defaults.update(kw)
+    return TransformerHparams(**defaults)
+
+
+@pytest.fixture(scope="module")
+def sparse_lm():
+    hp = sparse_lm_hparams()
+    model = TransformerLanguageModel(hp)
+    rng = jax.random.PRNGKey(3)
+    params = model.init(rng, jnp.ones((1, 64), jnp.int32))["params"]
+    return model, params
+
+
+class TestFrontierJacobi:
+    """Frontier-windowed Jacobi (parallel_decode.frontier_jacobi_decode):
+    per-pass cost O(window) instead of O(L), exact AR equivalence."""
+
+    def test_greedy_matches_ar_greedy(self, sparse_lm):
+        model, params = sparse_lm
+        L = 128
+        ar = model.apply({"params": params}, jax.random.PRNGKey(0), L,
+                         2, GREEDY, method=model.sample)
+        fr, iters = model.apply(
+            {"params": params}, jax.random.PRNGKey(0), L, 2, GREEDY,
+            window_tokens=64, method=model.frontier_generate)
+        for a_row, f_row in zip(np.asarray(ar), np.asarray(fr)):
+            np.testing.assert_array_equal(a_row, f_row)
+
+    def test_window_size_invariance_sampled(self, sparse_lm):
+        """The converged output must not depend on the window size — the
+        noise is keyed by absolute block, so any window partition reaches
+        the same ancestral sample."""
+        model, params = sparse_lm
+        sampling = SamplingParams(temperature=1.0, top_p=0.9,
+                                  repetition_penalty=1.2)
+        L, B = 128, 2
+        rng = jax.random.PRNGKey(5)
+        outs = []
+        for w in (32, 64, 128):
+            out, _ = model.apply(
+                {"params": params}, rng, L, B, sampling, window_tokens=w,
+                method=model.frontier_generate)
+            outs.append(np.asarray(out))
+        np.testing.assert_array_equal(outs[0], outs[1])
+        np.testing.assert_array_equal(outs[0], outs[2])
+
+    def test_matches_full_jacobi_when_noise_grids_agree(self, sparse_lm):
+        """With the full-document Jacobi run at chunk_size == block_size
+        (same absolute noise grid), both decoders must reach the identical
+        sampled fixed point."""
+        model, params = sparse_lm
+        sampling = SamplingParams(temperature=1.0, top_p=0.9,
+                                  repetition_penalty=1.2)
+        L, B = 128, 2
+        rng = jax.random.PRNGKey(9)
+        full, _ = model.apply(
+            {"params": params}, rng, L, B, sampling, chunk_size=32,
+            method=model.parallel_generate)
+        fr, _ = model.apply(
+            {"params": params}, rng, L, B, sampling, window_tokens=64,
+            method=model.frontier_generate)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(fr))
+
+    def test_vae_frontier_matches_vae_ar(self):
+        hp = TransformerVAEHparams(
+            d_model=32, num_heads=4, num_layers=2, latent_depth=8,
+            vocab_size=128, num_encoder_latents=4,
+            sparse_self_attention=True, attn_window_size=2,
+            attn_block_size=32, use_pallas_kernel=False)
+        model = TransformerVAE(hp)
+        rng = jax.random.PRNGKey(0)
+        params = model.init({"params": rng, "sample": rng},
+                            jnp.ones((1, 64), jnp.int32))["params"]
+        z = jax.random.normal(jax.random.PRNGKey(2), (2, 1, 8))
+        L = 96
+        ar = model.apply({"params": params}, jax.random.PRNGKey(1), L, 2,
+                         z, GREEDY, method=model.sample)
+        fr, _ = model.apply({"params": params}, jax.random.PRNGKey(1), L, 2,
+                            z, GREEDY, window_tokens=32,
+                            method=model.frontier_generate)
+        np.testing.assert_array_equal(np.asarray(ar), np.asarray(fr))
+
+    def test_rejects_dense_config(self, lm):
+        model, params = lm
+        with pytest.raises(ValueError, match="sparse"):
+            model.apply({"params": params}, jax.random.PRNGKey(0), 64, 1,
+                        GREEDY, method=model.frontier_generate)
