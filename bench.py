@@ -277,6 +277,64 @@ def bench_longdoc(args):
           f"backend={jax.default_backend()}", file=sys.stderr)
 
 
+def bench_cetune(args):
+    """Tile-geometry sweep for the fused projection+CE kernels at the train
+    step's shape (~108 ms of the round-1 profile; VERDICT r2 #4). Times
+    fwd-only and fwd+bwd at each (token_tile, vocab_tile) pair."""
+    import jax
+    import jax.numpy as jnp
+
+    from sparse_vae_tpu.ops.pallas_ce import fused_tied_cross_entropy
+
+    n = args.batch * args.seq          # tokens per step (default 102,400)
+    d, v = 512, 2 ** 15
+    rng = jax.random.PRNGKey(0)
+    g = jax.random.normal(rng, (n, d), jnp.bfloat16)
+    table = jax.random.normal(jax.random.PRNGKey(1), (v, d), jnp.bfloat16)
+    bias = jnp.zeros((v,), jnp.float32)
+    labels = jax.random.randint(jax.random.PRNGKey(2), (n,), 1, v)
+
+    def run(tt, vt):
+        @jax.jit
+        def fwd(g, table, bias):
+            return jnp.sum(fused_tied_cross_entropy(g, table, bias, labels,
+                                                    tt, vt))
+
+        @jax.jit
+        def both(g, table, bias):
+            l, grads = jax.value_and_grad(fwd, argnums=(0, 1, 2))(
+                g, table, bias)
+            return l, grads
+
+        def timeit(fn, reps=5):
+            jax.device_get(fn(g, table, bias))  # compile
+            t0 = time.time()
+            for _ in range(reps):
+                out = fn(g, table, bias)
+            jax.device_get(out)
+            return (time.time() - t0) / reps * 1000.0
+
+        return timeit(fwd), timeit(both)
+
+    best = None
+    for tt in (256, 512, 1024):
+        for vt in (1024, 2048, 4096):
+            try:
+                f_ms, fb_ms = run(tt, vt)
+            except Exception as e:
+                print(f"# tt={tt} vt={vt}: {type(e).__name__}: "
+                      f"{str(e).splitlines()[0][:100]}", file=sys.stderr)
+                continue
+            print(f"# tt={tt} vt={vt}: fwd={f_ms:.1f}ms fwd+bwd={fb_ms:.1f}ms",
+                  file=sys.stderr)
+            if best is None or fb_ms < best[2]:
+                best = (tt, vt, fb_ms)
+    print(json.dumps({
+        "metric": "fused_ce_fwd_bwd_ms", "value": round(best[2], 1),
+        "unit": f"ms at n={n} (tt={best[0]}, vt={best[1]})",
+        "vs_baseline": round(best[2], 1)}))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true")
@@ -292,11 +350,13 @@ def main():
     parser.add_argument("--seq", type=int, default=12800)
     parser.add_argument("--frontier-window", type=int, default=512,
                         help="active-window tokens for frontier Jacobi")
-    parser.add_argument("--mode", choices=["train", "generate", "longdoc"],
+    parser.add_argument("--mode",
+                        choices=["train", "generate", "longdoc", "cetune"],
                         default="train",
                         help="generate: Jacobi parallel decode vs the AR "
                              "while_loop; longdoc: 102,400-token AR sample "
-                             "(ring KV cache) + chunked IWAE at full length")
+                             "(ring KV cache) + chunked IWAE at full length; "
+                             "cetune: fused-CE tile sweep")
     parser.add_argument("--_inner", action="store_true",
                         help=argparse.SUPPRESS)
     args = parser.parse_args()
@@ -313,6 +373,8 @@ def main():
         return bench_generate(args)
     if args.mode == "longdoc":
         return bench_longdoc(args)
+    if args.mode == "cetune":
+        return bench_cetune(args)
 
     import jax.numpy as jnp
     import optax
