@@ -64,11 +64,20 @@ class TransformerLanguageModel(nn.Module):
         return jnp.bfloat16 if self.hparams.precision == "bf16" \
             else jnp.float32
 
+    @property
+    def shard_vocab(self) -> bool:
+        """Tied embedding/head sharded over the vocab dim (TP twin only;
+        parallel.tp.shards_vocab)."""
+        from ..parallel.tp import shards_vocab
+        return shards_vocab(self.hparams, self.hparams.tp_size)
+
     def setup(self):
         hp = self.hparams
         d_embedding = hp.d_embedding or hp.d_model
+        vocab_local = (hp.vocab_size // hp.tp_size if self.shard_vocab
+                       else hp.vocab_size)
         self.input_embedding = nn.Embed(
-            hp.vocab_size, d_embedding,
+            vocab_local, d_embedding,
             embedding_init=embed_init(hp.init_scale))
         self.embedding_projection = (
             nn.Dense(hp.d_model, kernel_init=dense_kernel_init(hp.init_scale),
@@ -130,11 +139,16 @@ class TransformerLanguageModel(nn.Module):
                 dtype=self.dtype)
         else:
             self.output_bias = self.param(
-                "output_bias", nn.initializers.zeros, (hp.vocab_size,))
+                "output_bias", nn.initializers.zeros, (vocab_local,))
 
     # -- pieces -------------------------------------------------------------
     def embed(self, token_ids, deterministic: bool = True):
-        x = self.input_embedding(token_ids).astype(self.dtype)
+        if self.shard_vocab:
+            from ..parallel.tp import vocab_parallel_embed
+            x = vocab_parallel_embed(self.input_embedding.embedding,
+                                     token_ids, "model").astype(self.dtype)
+        else:
+            x = self.input_embedding(token_ids).astype(self.dtype)
         if self.embedding_projection is not None:
             x = self.embedding_projection(x)
         return self.input_dropout_layer(x, deterministic=deterministic)
@@ -145,6 +159,11 @@ class TransformerLanguageModel(nn.Module):
 
     def project(self, h, logits_dtype=None):
         """Pre-logits head + output projection; [B, ..., D] -> [..., V]."""
+        if self.shard_vocab:
+            raise NotImplementedError(
+                "full [.., V] logits are never materialized under "
+                "vocab-parallel TP; use sequence_nll / sequence_ll_rows "
+                "(the chunked paths the objectives already select)")
         h = self.pre_logits(h)
         if self.tie_output:
             table = self.input_embedding.embedding.astype(self.dtype)
@@ -165,6 +184,9 @@ class TransformerLanguageModel(nn.Module):
         hidden: [B, L', D] decoder states; labels: [B, L'] (0 = pad).
         """
         hp = self.hparams
+        if self.shard_vocab:
+            return self._vocab_parallel_chunked(hidden, labels,
+                                                per_row=False)
         use_fused = (self.tie_output and hp.use_pallas_kernel
                      and jax.default_backend() == "tpu"
                      and hp.vocab_size % 1024 == 0)
@@ -185,6 +207,43 @@ class TransformerLanguageModel(nn.Module):
         return chunked_cross_entropy(hidden, self.project, labels,
                                      hp.loss_chunk_size or 2048)
 
+    def _vocab_parallel_chunked(self, hidden, labels, per_row: bool):
+        """Chunked projection+CE under vocab-parallel TP: per chunk, each
+        model shard computes its [tokens, V/tp] logits slice and only the
+        softmax statistics cross shards (parallel.tp.tied_vocab_parallel_nll
+        — the Megatron vocab-parallel CE). Returns (nll_sum, token_count),
+        or per-row NLL sums [B] when per_row."""
+        from ..parallel.tp import tied_vocab_parallel_nll
+        hp = self.hparams
+        b, lp, d = hidden.shape
+        cs = min(hp.loss_chunk_size or 2048, lp)
+        num = -(-lp // cs)
+        pad = num * cs - lp
+        if pad:
+            hidden = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
+            labels = jnp.pad(labels, ((0, 0), (0, pad)))
+        h_chunks = hidden.reshape(b, num, cs, d).swapaxes(0, 1)
+        l_chunks = labels.reshape(b, num, cs).swapaxes(0, 1)
+        table = self.input_embedding.embedding.astype(self.dtype)
+        bias = self.output_bias.astype(jnp.float32)
+
+        def body(carry, xs):
+            h_c, lab_c = xs                       # [b, cs, d], [b, cs]
+            g = self.pre_logits(h_c.reshape(b * cs, d))
+            nll = tied_vocab_parallel_nll(g, table, bias,
+                                          lab_c.reshape(-1), "model")
+            mask = (lab_c.reshape(-1) != 0).astype(jnp.float32)
+            contrib = (nll * mask).reshape(b, cs)
+            if per_row:
+                return carry + jnp.sum(contrib, axis=-1), None
+            return (carry[0] + jnp.sum(contrib),
+                    carry[1] + jnp.sum(mask)), None
+
+        init = (jnp.zeros((b,), jnp.float32) if per_row
+                else (jnp.asarray(0.0), jnp.asarray(0.0)))
+        out, _ = jax.lax.scan(body, init, (h_chunks, l_chunks))
+        return out
+
     @staticmethod
     def shifted_labels(token_ids):
         """Next-token labels aligned with the FULL-length hidden states:
@@ -200,6 +259,9 @@ class TransformerLanguageModel(nn.Module):
         DReG estimators need at long context (continuous_autoencoder.py:83-88
         did a full-logit gather). hidden: [B, L', D]; labels: [B, L']."""
         hp = self.hparams
+        if self.shard_vocab:
+            return -self._vocab_parallel_chunked(hidden, labels,
+                                                 per_row=True)
         use_fused = (self.tie_output and hp.use_pallas_kernel
                      and jax.default_backend() == "tpu"
                      and hp.vocab_size % 1024 == 0)

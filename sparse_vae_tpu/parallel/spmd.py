@@ -114,6 +114,9 @@ def make_train_step(module, objective, optimizer,
     params/opt_state buffers are donated.
 
     On a 2-D mesh (model axis > 1), `module` must be the TP-localized twin
+    (when its config qualifies — parallel.tp.shards_vocab — the tied
+    embedding/head is additionally sharded over the vocab dim with
+    vocab-parallel CE)
     (parallel.tp.tp_localize): params enter with the tp_param_specs
     shardings (attention heads / FFN inner dim / learned-query banks sliced
     over 'model'), activations stay replicated over 'model', and the f/g
@@ -126,6 +129,11 @@ def make_train_step(module, objective, optimizer,
     shards clip differently and silently diverge.
     """
     tp_size = mesh.shape.get("model", 1) if mesh is not None else 1
+    if tp_size > 1:
+        from .tp import shards_vocab
+        tp_sv = shards_vocab(module.hparams, tp_size)
+    else:
+        tp_sv = False
 
     def micro_grads(params, mb, step, rng):
         if mesh is None:
@@ -184,7 +192,7 @@ def make_train_step(module, objective, optimizer,
         if tp_size > 1:
             from .tp import tp_global_norm, tp_sharded_mask
             metrics["grad_norm"] = tp_global_norm(
-                grads, tp_sharded_mask(grads, tp_size))
+                grads, tp_sharded_mask(grads, tp_size, tp_sv))
         else:
             metrics["grad_norm"] = optax.global_norm(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -211,8 +219,8 @@ def make_train_step(module, objective, optimizer,
 
     def step_fn(params, opt_state, batch, step, rng):
         if "fn" not in cache:
-            p_specs = tp_param_specs(params, tp_size)
-            o_specs = tp_param_specs(opt_state, tp_size)
+            p_specs = tp_param_specs(params, tp_size, tp_sv)
+            o_specs = tp_param_specs(opt_state, tp_size, tp_sv)
             mapped = jax.shard_map(
                 core, mesh=mesh,
                 in_specs=(p_specs, o_specs, P(None, DATA_AXIS), rep, rep),
@@ -231,6 +239,11 @@ def make_eval_step(module, objective, mesh: Optional[Mesh] = None):
     On a 2-D mesh pass the TP-localized module; params enter sharded per
     tp_param_specs and every model shard computes identical stats."""
     tp_size = mesh.shape.get("model", 1) if mesh is not None else 1
+    if tp_size > 1:
+        from .tp import shards_vocab
+        tp_sv = shards_vocab(module.hparams, tp_size)
+    else:
+        tp_sv = False
 
     def core(params, batch, rng):
         stats = objective.eval_stats(module, params, batch, rng)
@@ -256,7 +269,7 @@ def make_eval_step(module, objective, mesh: Optional[Mesh] = None):
 
     def eval_fn(params, batch, rng):
         if "fn" not in cache:
-            p_specs = tp_param_specs(params, tp_size)
+            p_specs = tp_param_specs(params, tp_size, tp_sv)
             mapped = jax.shard_map(
                 core, mesh=mesh,
                 in_specs=(p_specs, P(DATA_AXIS), rep),

@@ -105,7 +105,8 @@ def radam(
 
 
 def clip_by_tp_global_norm(max_norm: float, tp_size: int,
-                           axis_name: str = "model"
+                           axis_name: str = "model",
+                           shard_vocab: bool = False
                            ) -> optax.GradientTransformation:
     """Global-norm clip whose norm is exact under tensor parallelism.
 
@@ -124,8 +125,9 @@ def clip_by_tp_global_norm(max_norm: float, tp_size: int,
     def update_fn(updates, state, params=None):
         del params
         from ..parallel.tp import tp_global_norm, tp_sharded_mask
-        g_norm = tp_global_norm(updates, tp_sharded_mask(updates, tp_size),
-                                axis_name)
+        g_norm = tp_global_norm(
+            updates, tp_sharded_mask(updates, tp_size, shard_vocab),
+            axis_name)
         trigger = g_norm < max_norm
         updates = jax.tree.map(
             lambda t: jnp.where(trigger, t,
@@ -144,6 +146,7 @@ def make_optimizer(
     lamb: bool = False,
     warmup_steps: int = 0,
     tp_size: int = 1,
+    tp_shard_vocab: bool = False,
 ) -> optax.GradientTransformation:
     """Full training chain: global-norm clip -> RAdam with cosine-decayed lr.
 
@@ -171,7 +174,8 @@ def make_optimizer(
         raise NotImplementedError(
             "LAMB trust ratios are per-param norms and would be wrong on "
             "model-sharded params; use lamb=False with tensor parallelism")
-    clip = (clip_by_tp_global_norm(grad_clip_threshold, tp_size)
+    clip = (clip_by_tp_global_norm(grad_clip_threshold, tp_size,
+                                   shard_vocab=tp_shard_vocab)
             if tp_size > 1 else
             optax.clip_by_global_norm(grad_clip_threshold))
     return optax.chain(

@@ -91,11 +91,13 @@ class Trainer:
                            * self.thp.accumulate_grad_batches)
         lr = scaled_lr(self.hp.lr, tokens_per_step, self.hp.base_batch_size)
         self._tp_size = mesh.shape.get("model", 1) if mesh is not None else 1
+        from ..parallel.tp import shards_vocab
+        self._tp_shard_vocab = shards_vocab(self.hp, self._tp_size)
         self.optimizer = make_optimizer(
             lr=lr, lr_decay_steps=self.hp.lr_decay_steps,
             grad_clip_threshold=self.hp.grad_clip_threshold,
             weight_decay=self.hp.weight_decay, lamb=self.hp.lamb,
-            tp_size=self._tp_size)
+            tp_size=self._tp_size, tp_shard_vocab=self._tp_shard_vocab)
 
         from ..parallel.spmd import make_eval_step, make_train_step
         # On a 2-D mesh the train/eval steps run the TP-localized twin
@@ -118,8 +120,10 @@ class Trainer:
             # with model > 1 the TP-sharded leaves (attention/FFN kernels,
             # learned-query banks) are distributed over 'model'.
             from ..parallel.tp import tp_shardings
-            p_sh = tp_shardings(params, self.mesh, self._tp_size)
-            o_sh = tp_shardings(opt_state, self.mesh, self._tp_size)
+            p_sh = tp_shardings(params, self.mesh, self._tp_size,
+                                self._tp_shard_vocab)
+            o_sh = tp_shardings(opt_state, self.mesh, self._tp_size,
+                                self._tp_shard_vocab)
             params = jax.tree.map(jax.device_put, params, p_sh)
             opt_state = jax.tree.map(
                 lambda x, s: jax.device_put(x, s) if hasattr(x, "ndim")

@@ -605,3 +605,79 @@ class TestTensorParallelStep:
             d_embedding=8, d_model=16, vocab_size=64))
         with pytest.raises(ValueError, match="data-parallel only"):
             tp_localize(model, 2)
+
+    def test_tp_vocab_sharded_embedding_head_exact(self, mesh2d):
+        """Vocab-parallel TP (loss_chunk_size set + tied head): the tied
+        embedding/head is sharded over 'model' (Megatron vocab-parallel
+        CE + sharded-table lookup) and the full train step still matches
+        the single-device step exactly."""
+        import optax
+        from sparse_vae_tpu.models.transformer_lm import (
+            TransformerHparams, TransformerLanguageModel)
+        from sparse_vae_tpu.parallel.spmd import make_train_step, shard_batch
+        from sparse_vae_tpu.parallel.tp import (shards_vocab, tp_localize,
+                                                tp_param_specs)
+
+        hp = TransformerHparams(
+            d_model=64, num_heads=4, num_layers=2, vocab_size=512,
+            sparse_self_attention=False, use_pallas_kernel=False,
+            loss_chunk_size=64)
+        assert shards_vocab(hp, 2)
+        model = TransformerLanguageModel(hp)
+        objective = ARObjective(hp)
+        optimizer = optax.sgd(1e-2)
+        rng = jax.random.PRNGKey(0)
+        k, b = 2, mesh2d.shape["data"] * 2
+        batch = _uneven_batch(rng, k, b, 128, 512)
+        params = model.init(rng, batch["token_ids"][0])["params"]
+        opt_state = optimizer.init(params)
+
+        # the embedding/bias really are sharded in the spec tree
+        specs = tp_param_specs(params, 2, True)
+        assert specs["input_embedding"]["embedding"] == P("model", None)
+        assert specs["output_bias"] == P("model")
+
+        clone = lambda t: jax.tree.map(jnp.array, t)
+        sharded = make_train_step(tp_localize(model, 2), objective,
+                                  optimizer, mesh=mesh2d)
+        step_rng = jax.random.PRNGKey(7)
+        p1, o1, m1 = sharded(clone(params), clone(opt_state),
+                             shard_batch(batch, mesh2d, stacked=True),
+                             jnp.asarray(0), step_rng)
+
+        # Single-device simulation with the pinned per-data-shard rng
+        # semantics (the chunked AR branch applies dropout, whose masks are
+        # a function of the folded shard rng — a plain single-device step
+        # would draw different masks).
+        n_data = mesh2d.shape["data"]
+        rows_per = b // n_data
+
+        def micro_loss(p, i):
+            sums = counts = None
+            for s in range(n_data):
+                rng_s = jax.random.fold_in(step_rng, s)
+                rngs_s = jax.random.split(rng_s, k)
+                mb = {name: arr[i, s * rows_per:(s + 1) * rows_per]
+                      for name, arr in batch.items()}
+                su, co = objective.loss_sums(model, p, mb, 0, rngs_s[i])
+                sums = su if sums is None else jax.tree.map(
+                    jnp.add, sums, su)
+                counts = co if counts is None else jax.tree.map(
+                    jnp.add, counts, co)
+            return objective.compose_loss(sums, counts, 0)
+
+        grads_acc, losses = None, []
+        for i in range(k):
+            (loss_i, _), g = jax.value_and_grad(
+                lambda p: micro_loss(p, i), has_aux=True)(params)
+            losses.append(float(loss_i))
+            grads_acc = g if grads_acc is None else jax.tree.map(
+                jnp.add, grads_acc, g)
+        grads = jax.tree.map(lambda x: x / k, grads_acc)
+        updates, _ = optimizer.update(grads, opt_state, params)
+        import optax as _optax
+        p0 = _optax.apply_updates(params, updates)
+
+        _tree_allclose(p1, p0, rtol=2e-5, atol=1e-5)
+        np.testing.assert_allclose(float(m1["loss"]), np.mean(losses),
+                                   rtol=1e-5)
