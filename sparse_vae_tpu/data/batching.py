@@ -89,8 +89,16 @@ def plan_batches(
     """
     rng = rng or np.random.default_rng()
     lengths = np.asarray(lengths)
-    buckets = np.array([length_bucket(int(n), pad_to_multiple_of)
-                        for n in lengths])
+    # Bucket coarsening exists only to bound the compiled-shape count. A
+    # corpus that is already shape-bounded — e.g. concat_documents streams,
+    # all exactly max_tokens long — gets exact 512-multiple buckets instead
+    # (the pg19 regime would otherwise pad 102,400 -> 114,688, 12% waste).
+    if len(np.unique(lengths)) <= 4:
+        m = pad_to_multiple_of
+        buckets = ((lengths + m - 1) // m) * m
+    else:
+        buckets = np.array([length_bucket(int(n), pad_to_multiple_of)
+                            for n in lengths])
 
     plans: List[BatchPlan] = []
     for bucket_len in np.unique(buckets):
