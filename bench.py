@@ -150,6 +150,16 @@ def bench_generate(args):
                            window_tokens=min(args.frontier_window, L),
                            method=model.frontier_generate)
 
+    @jax.jit
+    def frontier_fused(params, rng):
+        # + the VMEM-resident selection kernel (ops/pallas_select.py): the
+        # nucleus bisection reads the window's logits from HBM once instead
+        # of once per bisection iteration.
+        return model.apply({"params": params}, rng, L, b, z, sampling,
+                           window_tokens=min(args.frontier_window, L),
+                           fused_select=True,
+                           method=model.frontier_generate)
+
     def timed(fn):
         jax.device_get(fn(params, jax.random.PRNGKey(1)))  # compile
         t0 = time.time()
@@ -170,6 +180,8 @@ def bench_generate(args):
     if sparse:
         t_f, (f_out, f_iters) = timed(frontier)
         rows["frontier"] = (t_f, int(f_iters), gen_len(f_out))
+        t_ff, (ff_out, ff_iters) = timed(frontier_fused)
+        rows["frontier_fused"] = (t_ff, int(ff_iters), gen_len(ff_out))
     best_name, (t_best, best_iters, best_len) = min(
         rows.items(), key=lambda kv: kv[1][0])
     result = {

@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Trained-checkpoint generation benchmark at EQUAL generated lengths:
+``python gen_bench.py <model> <run-name> [seq=8192] [batch=1] [full=0]
+[window=512] [modes=greedy,sampled]``.
+
+Round 2's trained-checkpoint AR-vs-Jacobi table compared unequal work (the
+AR run emitted [SEP] early while Jacobi converged the whole buffer —
+BASELINE.md footnote). Here every decoder runs with end_token=-1 (never
+emitted), so AR, frontier Jacobi, and fused-selection frontier all generate
+exactly seq-1 tokens; wall-clocks are directly comparable. full=1 adds the
+full-document Jacobi mode (slow on trained checkpoints; round-2 numbers).
+"""
+import functools
+import json
+import sys
+import time
+
+
+def main(args):
+    from sparse_vae_tpu.cli import apply_platform_env
+    apply_platform_env()
+    experiment, name = args[1], args[2]
+    extra = dict(kv.split("=", 1) for kv in args[3:])
+    seq = int(extra.get("seq", 8192))
+    batch = int(extra.get("batch", 1))
+    window = int(extra.get("window", 512))
+    run_full = extra.get("full", "0") == "1"
+    modes = extra.get("modes", "greedy,sampled").split(",")
+
+    import jax
+    import jax.numpy as jnp
+
+    from sparse_vae_tpu import load_checkpoint_for_name
+    from sparse_vae_tpu.models.generation import SamplingParams
+
+    module, hparams, objective, state, meta = load_checkpoint_for_name(
+        experiment, name, step=extra.get("step"))
+    params = state["params"]
+    is_vae = experiment.endswith("vae")
+
+    z = None
+    if is_vae:
+        z = jax.random.normal(jax.random.PRNGKey(7),
+                              (batch, 1, hparams.latent_depth))
+
+    def run_mode(sampling, label):
+        @jax.jit
+        def ar(rng):
+            return module.apply(
+                {"params": params}, rng, seq, *((batch, z) if is_vae
+                                                else (batch,)),
+                sampling, end_token=-1, method=type(module).sample)
+
+        @functools.partial(jax.jit, static_argnums=(1,))
+        def frontier(rng, fused):
+            return module.apply(
+                {"params": params}, rng, seq, *((batch, z) if is_vae
+                                                else (batch,)),
+                sampling, end_token=-1, window_tokens=window,
+                fused_select=fused, method=type(module).frontier_generate)
+
+        @jax.jit
+        def full_jacobi(rng):
+            return module.apply(
+                {"params": params}, rng, seq, *((batch, z) if is_vae
+                                                else (batch,)),
+                sampling, end_token=-1, chunk_size=128,
+                method=type(module).parallel_generate)
+
+        def timed(fn, *a):
+            jax.device_get(fn(jax.random.PRNGKey(1), *a))  # compile
+            t0 = time.time()
+            out = jax.device_get(fn(jax.random.PRNGKey(2), *a))
+            return time.time() - t0, out
+
+        t_ar, ar_out = timed(ar)
+        rows = {"ar": (t_ar, seq - 1)}
+        if getattr(hparams, "sparse_self_attention", False):
+            t_f, (f_out, f_it) = timed(frontier, False)
+            rows["frontier"] = (t_f, int(f_it))
+            greedy = sampling.temperature <= 0.0 or sampling.top_k == 1
+            if not greedy:
+                t_ff, (ff_out, ff_it) = timed(frontier, True)
+                rows["frontier_fused"] = (t_ff, int(ff_it))
+        if run_full:
+            t_j, (j_out, j_it) = timed(full_jacobi)
+            rows["jacobi_full"] = (t_j, int(j_it))
+        detail = " ".join(f"{k}={t:.2f}s({it} passes)"
+                          for k, (t, it) in rows.items())
+        print(f"# {label} batch=({batch},{seq}) {detail}", file=sys.stderr)
+        best = min((t for k, (t, _) in rows.items() if k != "ar"),
+                   default=float("inf"))
+        return {"mode": label, **{k: round(t, 3)
+                                  for k, (t, _) in rows.items()},
+                "parallel_speedup_vs_ar": round(t_ar / best, 3)}
+
+    results = []
+    if "greedy" in modes:
+        results.append(run_mode(
+            SamplingParams(temperature=0.0, top_p=1.0,
+                           repetition_penalty=1.0), "greedy"))
+    if "sampled" in modes:
+        results.append(run_mode(SamplingParams(), "sampled"))
+    print(json.dumps({"metric": "trained_generation_equal_length",
+                      "runs": results}))
+
+
+if __name__ == "__main__":
+    main(sys.argv)

@@ -379,7 +379,9 @@ class TransformerLanguageModel(nn.Module):
                           sampling: SamplingParams = SamplingParams(),
                           start_token: int = 1, end_token: int = 2,
                           window_tokens: int = 512,
-                          max_iters: Optional[int] = None):
+                          max_iters: Optional[int] = None,
+                          fused_select: bool = False,
+                          interpret: bool = False):
         """Non-AR generation with per-pass cost independent of document
         length: Jacobi iteration restricted to an active window at the
         convergence frontier (models/parallel_decode.frontier_jacobi_decode).
@@ -397,14 +399,16 @@ class TransformerLanguageModel(nn.Module):
             lambda c, kvs, f: push_window_blocks(c, kvs, f, bs),
             self.init_window_caches(batch_size),
             batch_size, length, rng, sampling, start_token, end_token,
-            window_tokens, bs, max_iters)
+            window_tokens, bs, max_iters, fused_select, interpret)
         return tokens[:, 1:], iters
 
     def parallel_generate(self, rng, length: int, batch_size: int = 1,
                           sampling: SamplingParams = SamplingParams(),
                           start_token: int = 1, end_token: int = 2,
                           max_iters: Optional[int] = None,
-                          chunk_size: int = 2048, init_tokens=None):
+                          chunk_size: int = 2048, init_tokens=None,
+                          fused_select: bool = False,
+                          interpret: bool = False):
         """Non-AR full-document generation: Jacobi fixed-point iteration on
         the teacher-forcing forward (models/parallel_decode.py). Every
         iteration is one parallel device pass; converges to the exact AR
@@ -418,5 +422,6 @@ class TransformerLanguageModel(nn.Module):
 
         tokens, iters = jacobi_decode(
             hidden_fn, self.project, batch_size, length, rng, sampling,
-            start_token, end_token, max_iters, chunk_size, init_tokens)
+            start_token, end_token, max_iters, chunk_size, init_tokens,
+            fused_select, interpret)
         return tokens[:, 1:], iters

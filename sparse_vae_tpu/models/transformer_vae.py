@@ -192,7 +192,9 @@ class TransformerVAE(TransformerLanguageModel):
                           z=None, sampling: SamplingParams = SamplingParams(),
                           start_token: int = 1, end_token: int = 2,
                           window_tokens: int = 512,
-                          max_iters: Optional[int] = None):
+                          max_iters: Optional[int] = None,
+                          fused_select: bool = False,
+                          interpret: bool = False):
         """Frontier-windowed non-AR generation from z (see
         TransformerLanguageModel.frontier_generate)."""
         if not self.hparams.sparse_self_attention:
@@ -211,14 +213,16 @@ class TransformerVAE(TransformerLanguageModel):
             lambda c, kvs, f: push_window_blocks(c, kvs, f, bs),
             self.init_window_caches(batch_size),
             batch_size, length, d_rng, sampling, start_token, end_token,
-            window_tokens, bs, max_iters)
+            window_tokens, bs, max_iters, fused_select, interpret)
         return tokens[:, 1:], iters
 
     def parallel_generate(self, rng, length: int, batch_size: int = 1,
                           z=None, sampling: SamplingParams = SamplingParams(),
                           start_token: int = 1, end_token: int = 2,
                           max_iters: Optional[int] = None,
-                          chunk_size: int = 2048, init_tokens=None):
+                          chunk_size: int = 2048, init_tokens=None,
+                          fused_select: bool = False,
+                          interpret: bool = False):
         """The north-star generation mode: full-document non-AR decoding
         from z in a handful of parallel device passes (Jacobi fixed-point on
         the z-injected decoder; models/parallel_decode.py). The AR `sample`
@@ -237,5 +241,6 @@ class TransformerVAE(TransformerLanguageModel):
 
         tokens, iters = jacobi_decode(
             hidden_fn, self.project, batch_size, length, d_rng, sampling,
-            start_token, end_token, max_iters, chunk_size, init_tokens)
+            start_token, end_token, max_iters, chunk_size, init_tokens,
+            fused_select, interpret)
         return tokens[:, 1:], iters
