@@ -289,6 +289,62 @@ def bench_longdoc(args):
           f"backend={jax.default_backend()}", file=sys.stderr)
 
 
+def bench_select(args):
+    """Microbenchmark of decode-time selection at the frontier-window shape
+    ([B*W, 32768]): the jnp nucleus stack (penalty + 24-iteration bisection
+    + Gumbel argmax, ~1.9 GB HBM traffic) vs the VMEM-resident fused kernel
+    (ops/pallas_select.py, one logits read). Also the kernel's first real
+    Mosaic compile check."""
+    import jax
+    import jax.numpy as jnp
+
+    from sparse_vae_tpu.models.generation import SamplingParams
+    from sparse_vae_tpu.ops.pallas_select import (nucleus_gumbel_argmax,
+                                                  _select_tile)
+
+    n = args.batch * min(args.seq, 512)      # rows = B * window_tokens
+    v = 2 ** 15 if not args.smoke else 1024
+    if args.smoke:
+        n = 64
+    rng = jax.random.PRNGKey(0)
+    s = jax.random.normal(rng, (n, v), jnp.float32) * 3.0
+    noise = jax.random.gumbel(jax.random.PRNGKey(1), (n, v), jnp.float32)
+    member = jax.random.uniform(jax.random.PRNGKey(2), (n, v)) < 0.01
+    sp = SamplingParams()
+
+    @jax.jit
+    def jnp_path(s, noise, member):
+        return _select_tile(s, noise, member, top_p=sp.top_p,
+                            temperature=sp.temperature,
+                            penalty=sp.repetition_penalty, num_iters=24)
+
+    @jax.jit
+    def fused(s, noise, member):
+        return nucleus_gumbel_argmax(
+            s, noise, member, top_p=sp.top_p, temperature=sp.temperature,
+            penalty=sp.repetition_penalty, interpret=args.smoke)
+
+    def timeit(fn, reps=10):
+        out = jax.device_get(fn(s, noise, member))  # compile
+        t0 = time.time()
+        for _ in range(reps):
+            r = fn(s, noise, member)
+        jax.device_get(r)
+        return (time.time() - t0) / reps * 1000.0, out
+
+    t_jnp, out_jnp = timeit(jnp_path)
+    t_fused, out_fused = timeit(fused)
+    import numpy as np
+    agree = float(np.mean(np.asarray(out_jnp) == np.asarray(out_fused)))
+    print(json.dumps({
+        "metric": "fused_select_speedup", "value": round(t_jnp / t_fused, 2),
+        "unit": f"x at [{n}, {v}] (jnp {t_jnp:.2f}ms vs fused "
+                f"{t_fused:.2f}ms)",
+        "vs_baseline": round(t_jnp / t_fused, 2)}))
+    print(f"# agreement={agree:.4f} backend={jax.default_backend()}",
+          file=sys.stderr)
+
+
 def bench_cetune(args):
     """Tile-geometry sweep for the fused projection+CE kernels at the train
     step's shape (~108 ms of the round-1 profile; VERDICT r2 #4). Times
@@ -363,7 +419,8 @@ def main():
     parser.add_argument("--frontier-window", type=int, default=512,
                         help="active-window tokens for frontier Jacobi")
     parser.add_argument("--mode",
-                        choices=["train", "generate", "longdoc", "cetune"],
+                        choices=["train", "generate", "longdoc", "cetune",
+                                 "select"],
                         default="train",
                         help="generate: Jacobi parallel decode vs the AR "
                              "while_loop; longdoc: 102,400-token AR sample "
@@ -387,6 +444,8 @@ def main():
         return bench_longdoc(args)
     if args.mode == "cetune":
         return bench_cetune(args)
+    if args.mode == "select":
+        return bench_select(args)
 
     import jax.numpy as jnp
     import optax
