@@ -80,8 +80,12 @@ def main(args):
             rows["frontier"] = (t_f, int(f_it))
             greedy = sampling.temperature <= 0.0 or sampling.top_k == 1
             if not greedy:
-                t_ff, (ff_out, ff_it) = timed(frontier, True)
-                rows["frontier_fused"] = (t_ff, int(ff_it))
+                try:
+                    t_ff, (ff_out, ff_it) = timed(frontier, True)
+                    rows["frontier_fused"] = (t_ff, int(ff_it))
+                except Exception as e:
+                    print(f"# frontier_fused failed: {type(e).__name__}: "
+                          f"{str(e).splitlines()[0][:120]}", file=sys.stderr)
         if run_full:
             t_j, (j_out, j_it) = timed(full_jacobi)
             rows["jacobi_full"] = (t_j, int(j_it))
