@@ -13,7 +13,9 @@ one ordinary XLA matmul (output-stationary MXU tiling; re-streaming the
 embedding table per token tile inside a mega-kernel would cost MORE HBM
 than materializing the logits once), then run ONE Pallas kernel over row
 tiles small enough that a tile's ENTIRE vocabulary row fits in VMEM
-([tt, V] fp32, tt=16 → 2 MB). Inside the kernel: repetition penalty,
+([tt, V] fp32, tt=8 → 1 MB; the live set — double-buffered inputs plus
+the probability/value temporaries — must stay under the ~16 MB VMEM
+budget). Inside the kernel: repetition penalty,
 temperature, softmax statistics, the full top-p threshold bisection, the
 Gumbel perturbation and the argmax — logits are read from HBM exactly
 once. Per-pass selection traffic drops ~6×.
@@ -117,7 +119,7 @@ def _kernel(*refs, top_p: float, temperature: float, penalty: float,
 def nucleus_gumbel_argmax(s, noise=None, member=None, *,
                           top_p: float = 0.9, temperature: float = 1.0,
                           penalty: float = 1.0, num_iters: int = 24,
-                          tt: int = 16, interpret: bool = False,
+                          tt: int = 8, interpret: bool = False,
                           use_pallas: bool = True):
     """Penalize/temperature/nucleus-filter/Gumbel-max over [N, V] logits.
 
