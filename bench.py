@@ -313,26 +313,24 @@ def bench_select(args):
     rng = jax.random.PRNGKey(0)
     s = jax.random.normal(rng, (n, v), jnp.float32) * 3.0
     noise = jax.random.gumbel(jax.random.PRNGKey(1), (n, v), jnp.float32)
-    member = jax.random.uniform(jax.random.PRNGKey(2), (n, v)) < 0.01
     sp = SamplingParams()
 
     @jax.jit
-    def jnp_path(s, noise, member):
-        return _select_tile(s, noise, member, top_p=sp.top_p,
-                            temperature=sp.temperature,
-                            penalty=sp.repetition_penalty, num_iters=24)
+    def jnp_path(s, noise):
+        return _select_tile(s, noise, top_p=sp.top_p,
+                            temperature=sp.temperature, num_iters=24)
 
     @jax.jit
-    def fused(s, noise, member):
+    def fused(s, noise):
         return nucleus_gumbel_argmax(
-            s, noise, member, top_p=sp.top_p, temperature=sp.temperature,
-            penalty=sp.repetition_penalty, interpret=args.smoke)
+            s, noise, top_p=sp.top_p, temperature=sp.temperature,
+            interpret=args.smoke)
 
     def timeit(fn, reps=10):
-        out = jax.device_get(fn(s, noise, member))  # compile
+        out = jax.device_get(fn(s, noise))  # compile
         t0 = time.time()
         for _ in range(reps):
-            r = fn(s, noise, member)
+            r = fn(s, noise)
         jax.device_get(r)
         return (time.time() - t0) / reps * 1000.0, out
 

@@ -16,13 +16,16 @@ from sparse_vae_tpu.models.transformer_lm import (TransformerHparams,
 SAMPLED = SamplingParams(temperature=1.0, top_p=0.9, repetition_penalty=1.2)
 
 
+def _penalize(s, member, penalty):
+    return jnp.where(member, jnp.where(s < 0.0, s * penalty, s / penalty),
+                     s)
+
+
 def _jnp_reference(s, noise, member, sampling: SamplingParams):
     """The existing jnp selection stack (_filter_logits semantics), applied
     to explicit [N, V] inputs."""
     if member is not None and sampling.repetition_penalty > 1.0:
-        s = jnp.where(member,
-                      jnp.where(s < 0.0, s * sampling.repetition_penalty,
-                                s / sampling.repetition_penalty), s)
+        s = _penalize(s, member, sampling.repetition_penalty)
     if sampling.temperature > 0.0:
         s = s / sampling.temperature
     if 0.0 < sampling.top_p < 1.0:
@@ -33,85 +36,84 @@ def _jnp_reference(s, noise, member, sampling: SamplingParams):
 
 
 class TestKernel:
-    def _inputs(self, n=37, v=256, seed=0, noise=True, member=True):
+    def _inputs(self, n=37, v=256, seed=0, noise=True):
         k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
         s = jax.random.normal(k1, (n, v), jnp.float32) * 3.0
         g = jax.random.gumbel(k2, (n, v), jnp.float32) if noise else None
-        m = (jax.random.uniform(k3, (n, v)) < 0.05) if member else None
+        m = jax.random.uniform(k3, (n, v)) < 0.05
         return s, g, m
 
-    @pytest.mark.parametrize("noise,member", [(True, True), (True, False),
-                                              (False, True)])
-    def test_kernel_matches_shared_tile_math(self, noise, member):
+    @pytest.mark.parametrize("noise", [True, False])
+    def test_kernel_matches_shared_tile_math(self, noise):
         """Pallas (interpret) == the same _select_tile math run as plain
         jnp — the kernel wrapper adds only tiling/padding."""
-        s, g, m = self._inputs(noise=noise, member=member)
-        kw = dict(top_p=0.9, temperature=1.0, penalty=1.2, interpret=True)
-        got = nucleus_gumbel_argmax(s, g, m, tt=16, **kw)
-        ref = nucleus_gumbel_argmax(s, g, m, use_pallas=False, **kw)
+        s, g, _ = self._inputs(noise=noise)
+        kw = dict(top_p=0.9, temperature=1.0, interpret=True)
+        got = nucleus_gumbel_argmax(s, g, **kw)
+        ref = nucleus_gumbel_argmax(s, g, use_pallas=False, **kw)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
     def test_matches_jnp_selection_stack(self):
-        """Same nucleus bisection (24 iters) as top_p_filter: choices agree
-        with the production jnp path on >=99% of rows (disagreements can
-        only come from fp reduction-order at the kept-set boundary)."""
+        """Same nucleus bisection (24 iters) as top_p_filter, with the
+        repetition penalty pre-applied (as the fused integration does):
+        choices agree with the production jnp path on >=99% of rows
+        (disagreements can only come from fp reduction-order at the
+        kept-set boundary)."""
         s, g, m = self._inputs(n=256, v=512, seed=1)
+        s_pen = _penalize(s, m, SAMPLED.repetition_penalty)
         got = nucleus_gumbel_argmax(
-            s, g, m, top_p=0.9, temperature=1.0, penalty=1.2,
-            tt=16, interpret=True)
+            s_pen, g, top_p=0.9, temperature=1.0, interpret=True)
         ref = _jnp_reference(s, g, m, SAMPLED)
         agree = float(np.mean(np.asarray(got) == np.asarray(ref)))
         assert agree >= 0.99, agree
 
     def test_no_filter_is_plain_gumbel_max(self):
-        """top_p=1, no penalty: exactly argmax(s + noise)."""
-        s, g, _ = self._inputs(member=False)
-        got = nucleus_gumbel_argmax(s, g, None, top_p=1.0, temperature=1.0,
-                                    penalty=1.0, tt=16, interpret=True)
+        """top_p=1: exactly argmax(s + noise)."""
+        s, g, _ = self._inputs()
+        got = nucleus_gumbel_argmax(s, g, top_p=1.0, temperature=1.0,
+                                    interpret=True)
         np.testing.assert_array_equal(
             np.asarray(got), np.asarray(jnp.argmax(s + g, axis=-1)))
 
     def test_tiny_nucleus_is_argmax(self):
         """top_p below the max probability keeps only the argmax token, so
         the choice ignores the noise."""
-        s, g, _ = self._inputs(member=False)
-        got = nucleus_gumbel_argmax(s, g * 100.0, None, top_p=1e-6,
-                                    temperature=1.0, penalty=1.0,
-                                    tt=16, interpret=True)
+        s, g, _ = self._inputs()
+        got = nucleus_gumbel_argmax(s, g * 100.0, top_p=1e-6,
+                                    temperature=1.0, interpret=True)
         np.testing.assert_array_equal(
             np.asarray(got), np.asarray(jnp.argmax(s, axis=-1)))
 
-    def test_penalty_demotes_member_tokens(self):
-        """A strong penalty on the argmax token (member row) flips the
+    def test_pre_penalized_logits_demote_members(self):
+        """The integration pre-applies the repetition penalty to the
+        logits; a strong penalty on the argmax token flips the
         deterministic choice to the runner-up."""
         s = jnp.asarray([[4.0, 3.0, 0.0, -1.0]])
         member = jnp.asarray([[True, False, False, False]])
-        got = nucleus_gumbel_argmax(s, None, member, top_p=1.0,
-                                    temperature=1.0, penalty=10.0,
-                                    tt=8, interpret=True)
+        got = nucleus_gumbel_argmax(_penalize(s, member, 10.0),
+                                    top_p=1.0, temperature=1.0,
+                                    interpret=True)
         assert int(got[0]) == 1
 
     def test_row_padding_is_discarded(self):
         """N not a multiple of the row tile: padded rows never leak."""
-        s, g, m = self._inputs(n=19, v=128, seed=3)
-        got = nucleus_gumbel_argmax(s, g, m, top_p=0.9, temperature=1.0,
-                                    penalty=1.2, tt=16, interpret=True)
+        s, g, _ = self._inputs(n=19, v=128, seed=3)
+        got = nucleus_gumbel_argmax(s, g, top_p=0.9, temperature=1.0,
+                                    interpret=True)
         assert got.shape == (19,)
-        ref = nucleus_gumbel_argmax(s, g, m, top_p=0.9, temperature=1.0,
-                                    penalty=1.2, use_pallas=False)
+        ref = nucleus_gumbel_argmax(s, g, top_p=0.9, temperature=1.0,
+                                    use_pallas=False)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
     def test_membership_helper_consistency(self):
         """_chunk_membership is the exact mask _chunk_repetition_penalty
-        applies (the fused path shares it)."""
+        applies (the fused path pre-penalizes with it)."""
         rng = np.random.default_rng(2)
         B, C, V, L, W = 2, 4, 64, 12, 6
         logits = jnp.asarray(rng.normal(size=(B, C, V)).astype(np.float32))
         tokens = jnp.asarray(rng.integers(0, V, size=(B, L)))
         member = _chunk_membership(tokens, 3, C, W, V)
-        via_mask = jnp.where(
-            member, jnp.where(logits < 0.0, logits * 1.2, logits / 1.2),
-            logits)
+        via_mask = _penalize(logits, member, 1.2)
         direct = _chunk_repetition_penalty(logits, tokens, 3, 1.2, W)
         np.testing.assert_allclose(np.asarray(via_mask), np.asarray(direct),
                                    rtol=1e-6)
