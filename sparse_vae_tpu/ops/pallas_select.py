@@ -63,24 +63,29 @@ def _select_tile(s, noise, *, top_p: float, temperature: float,
         s = s / temperature
 
     if 0.0 < top_p < 1.0:
+        # Bisection on UNNORMALIZED exp(s - m): thresholding p/z >= t is
+        # identical to p_un >= t*z, so comparing kept unnormalized mass
+        # against top_p * z avoids materializing a normalized copy of the
+        # tile and a [tt, V] division — the kernel is VPU-bound, so every
+        # full-tile pass matters.
         m = jnp.max(s, axis=-1, keepdims=True)
         p_un = jnp.exp(s - m)
         z = jnp.sum(p_un, axis=-1, keepdims=True)
-        probs = p_un / z
-        pmax = jnp.max(probs, axis=-1, keepdims=True)
+        target = top_p * z
+        pmax = jnp.max(p_un, axis=-1, keepdims=True)
 
         def body(_, bounds):
             lo, hi = bounds
             mid = (lo + hi) * 0.5
-            mass = jnp.sum(jnp.where(probs >= mid, probs, 0.0), axis=-1,
+            mass = jnp.sum(jnp.where(p_un >= mid, p_un, 0.0), axis=-1,
                            keepdims=True)
-            keep_raising = mass >= top_p
+            keep_raising = mass >= target
             return (jnp.where(keep_raising, mid, lo),
                     jnp.where(keep_raising, hi, mid))
 
         lo, _ = jax.lax.fori_loop(0, num_iters, body,
                                   (jnp.zeros_like(pmax), pmax))
-        keep = (probs >= lo) | (probs == pmax)
+        keep = (p_un >= lo) | (p_un == pmax)
     else:
         keep = None
 
