@@ -118,12 +118,15 @@ def bench_generate(args):
 
     @jax.jit
     def jacobi_step(params, rng, tokens):
-        # Small selection chunk: top-p sorts [b, chunk, V] per chunk, which
-        # dominates transient memory at 32k vocab. Iterations run in
+        # Small selection chunk: top-p filtering materializes [b, chunk, V]
+        # temporaries per chunk, which dominate transient memory at 32k
+        # vocab — scale the chunk down with batch so mass-sampling configs
+        # (b >= 256) stay within HBM/compile limits. Iterations run in
         # host-driven slices of ITERS_PER_CALL so no single device
         # execution runs unboundedly long (resumable via init_tokens).
         return model.apply({"params": params}, rng, L, b, z, sampling,
-                           chunk_size=64, max_iters=ITERS_PER_CALL,
+                           chunk_size=max(8, min(64, 4096 // b)),
+                           max_iters=ITERS_PER_CALL,
                            init_tokens=tokens,
                            method=model.parallel_generate)
 
