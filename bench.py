@@ -418,7 +418,8 @@ def main():
                         help="jax.profiler trace of the timed steps to "
                              "/tmp/svt-profile")
     parser.add_argument("--remat", default="dots",
-                        choices=["full", "dots", "offload"])
+                        choices=["full", "dots", "dots_attn",
+                                 "dots_attn_qkv", "offload"])
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--seq", type=int, default=12800)
     parser.add_argument("--frontier-window", type=int, default=512,

@@ -48,7 +48,7 @@ class TransformerHparams(LanguageModelHparams):
     # SURVEY §2.9): 'full' recomputes everything, 'dots' saves matmul
     # outputs (recompute only elementwise), 'offload' checkpoints dot
     # outputs to host memory instead of recomputing.
-    remat_policy: str = "full"          # 'full' | 'dots' | 'offload'
+    remat_policy: str = "full"  # 'full'|'dots'|'dots_attn'|'dots_attn_qkv'|'offload'
     # Tensor parallelism: set (via parallel.tp.tp_localize) ONLY on the
     # per-shard twin module that runs inside shard_map on a 2-D mesh —
     # attention heads + FFN inner dim sharded over 'model'. The global
@@ -85,10 +85,22 @@ class TransformerLanguageModel(nn.Module):
             if d_embedding != hp.d_model else None)
         self.input_dropout_layer = nn.Dropout(rate=hp.input_dropout)
 
+        cp = jax.checkpoint_policies
         policies = {
             "full": None,  # recompute everything (jax default)
-            "dots": jax.checkpoint_policies.dots_saveable,
-            "offload": jax.checkpoint_policies.offload_dot_with_no_batch_dims(
+            "dots": cp.dots_saveable,
+            # The Pallas attention custom calls are not dots, so 'dots'
+            # recomputes them (plus their boundary layout copies) in the
+            # backward pass — ~20 ms/step at the bench shape. These save
+            # the named attention tensors too (ops/attention.py __call__):
+            # 'dots_attn' the kernel output (~100 MB/layer at 8x12800),
+            # 'dots_attn_qkv' also the head-major q/k/v (+300 MB/layer).
+            "dots_attn": cp.save_from_both_policies(
+                cp.dots_saveable, cp.save_only_these_names("attn_out")),
+            "dots_attn_qkv": cp.save_from_both_policies(
+                cp.dots_saveable,
+                cp.save_only_these_names("attn_out", "attn_qkv")),
+            "offload": cp.offload_dot_with_no_batch_dims(
                 "device", "pinned_host"),
         }
         if hp.remat_policy not in policies:

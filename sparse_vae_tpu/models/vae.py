@@ -36,6 +36,13 @@ class ContinuousVAEHparams(LanguageModelHparams):
     # (lstm_vae.py:74,104-106 references train_mc_samples and a removed
     # dreg_backward_pass; SURVEY §2.9) — here it is a working path.
     train_mc_samples: int = 1
+    # Free-bits KL floor in nats per latent dimension (Kingma et al. 2016):
+    # the ELBO's KL term uses max(kl_d, free_bits) elementwise, so dims
+    # already below the floor stop receiving collapse pressure. Round-3
+    # measurement: at this corpus/scale both the mc=1 ELBO and the mc=4
+    # DReG bound collapse (val_kl ~2e-4); this is the constructive lever.
+    # Logged train_kl/val_kl stay RAW — the floor only shapes gradients.
+    free_bits: float = 0.0
 
 
 def kl_sums(raw_kl, num_tokens):
@@ -110,7 +117,13 @@ class VAEObjective:
             nll, mask = token_nll(logits[:, :-1], batch["token_ids"][:, 1:],
                                   reduce=False)
             nll_sum, count = jnp.sum(nll), jnp.sum(mask).astype(jnp.float32)
-        kl_sum, raw_kl_sum, rows = kl_sums(raw_kl, batch["num_tokens"])
+        # Free-bits floor (hparams.free_bits): clamp per latent dimension
+        # BEFORE the sums so compose_loss stays linear in `sums` (the
+        # data-parallel exactness contract above).
+        fb = getattr(self.hp, "free_bits", 0.0)
+        kl_for_loss = jnp.maximum(raw_kl, fb) if fb > 0.0 else raw_kl
+        kl_sum, _, rows = kl_sums(kl_for_loss, batch["num_tokens"])
+        _, raw_kl_sum, _ = kl_sums(raw_kl, batch["num_tokens"])
         sums = {"nll_sum": nll_sum, "kl_sum": kl_sum,
                 "raw_kl_sum": raw_kl_sum}
         counts = {"token_count": count, "row_count": rows}

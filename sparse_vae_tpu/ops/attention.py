@@ -199,6 +199,15 @@ class Attention(nn.Module):
             x_q = x_kv if same else replicate_gradient(x_q, self.tp_axis)
         q, k, v = self._project(x_q, x_kv)
         q, k, v = (split_heads(t, self.local_heads) for t in (q, k, v))
+        # Remat save points (transformer_lm.py policies 'dots_attn' /
+        # 'dots_attn_qkv'): the head-major operands and the kernel output
+        # sit behind custom-call layout pins, so recomputing them in the
+        # backward pass re-pays both the Pallas forward kernel and its
+        # boundary transpose copies (~20 ms/step at the bench shape).
+        from jax.ad_checkpoint import checkpoint_name
+        q = checkpoint_name(q, "attn_qkv")
+        k = checkpoint_name(k, "attn_qkv")
+        v = checkpoint_name(v, "attn_qkv")
         lq, lk = q.shape[-2], k.shape[-2]
 
         if self.sparse and self.learned_queries is None:
@@ -211,7 +220,7 @@ class Attention(nn.Module):
                     q, k, v, kv_mask, window_size=self.window_size,
                     block_size=self.block_size, causal=self.causal,
                     force_xla=not self.use_pallas_kernel)
-                return self._finalize(out)
+                return self._finalize(checkpoint_name(out, "attn_out"))
             mask = sliding_window_token_mask(
                 lq, lk, self.block_size, self.window_size, self.causal)
             mask = mask[None, None]
@@ -249,7 +258,7 @@ class Attention(nn.Module):
                 out = flash_attention(q, k, v, segment_ids=seg, causal=True,
                                       sm_scale=q.shape[-1] ** -0.5,
                                       block_sizes=blocks)
-                return self._finalize(out)
+                return self._finalize(checkpoint_name(out, "attn_out"))
             mask = (jnp.arange(lk)[None, :] <= jnp.arange(lq)[:, None]
                     )[None, None]
         else:

@@ -9,14 +9,19 @@ the reduce/convert/select passes — profiled at ~35% of the train step.
 
 These kernels keep each logits tile in VMEM for its whole lifetime:
 
-    forward  grid = (token_tiles, vocab_tiles)  — online max/sum-exp plus a
-             one-hot masked-sum label-logit gather; emits per-token
-             (nll, lse), logits never leave VMEM.
+    forward  grid = (token_tiles, vocab_tiles)  — online max/sum-exp; emits
+             per-token lse, logits never leave VMEM. The label logit is a
+             rowwise g . E[label] gather OUTSIDE the kernel (nll = lse -
+             label_logit): in-kernel it costs two extra serial VPU sweeps
+             (iota-compare + masked sum) per tile that cannot overlap the
+             MXU within a Mosaic body.
     dg       grid = (token_tiles, vocab_tiles)  — recomputes the tile,
-             p = exp(s - lse), dlogits = (p - onehot(label)) * dnll,
-             accumulates dg = dlogits @ E.
+             p = exp(s - lse), accumulates dg = (p * dnll) @ E; the
+             -dnll * E[label] one-hot term is applied outside (same gather).
     dE/db    grid = (vocab_tiles, token_tiles)  — same recompute, opposite
-             nesting, accumulates dE = dlogits^T g and dbias.
+             nesting, accumulates dE = ((p - onehot(label)) * dnll)^T g and
+             dbias (this kernel keeps the one-hot: dbias needs it and the
+             scatter-add alternative serializes on TPU).
 
 Everything is tied-head shaped: logits = g @ table^T + bias with
 table = the input embedding [V, D] (transformer_lm.py project()).
@@ -46,19 +51,17 @@ def _label_hit(labels, v, vt: int, shape):
     return col == labels[:, None]
 
 
-def _fwd_kernel(g_ref, e_ref, bias_ref, labels_ref,
-                nll_ref, lse_ref,
-                m_scr, l_scr, lab_scr, *, vt: int):
+def _fwd_kernel(g_ref, e_ref, bias_ref,
+                lse_ref,
+                m_scr, l_scr, *, vt: int):
     v = pl.program_id(1)
 
     @pl.when(v == 0)
     def _init():
         m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
         l_scr[...] = jnp.zeros_like(l_scr)
-        lab_scr[...] = jnp.zeros_like(lab_scr)
 
     s = _tile(g_ref, e_ref, bias_ref)                     # [Tt, Vt]
-    labels = labels_ref[0, 0]                             # [Tt]
 
     m_prev, l_prev = m_scr[0], l_scr[0]
     m_curr = jnp.max(s, axis=1)
@@ -67,17 +70,12 @@ def _fwd_kernel(g_ref, e_ref, bias_ref, labels_ref,
     l_next = alpha * l_prev + jnp.sum(jnp.exp(s - m_next[:, None]), axis=1)
     m_scr[0], l_scr[0] = m_next, l_next
 
-    hit = _label_hit(labels, v, vt, s.shape)
-    lab_scr[0] += jnp.sum(jnp.where(hit, s, 0.0), axis=1)
-
     @pl.when(v == pl.num_programs(1) - 1)
     def _store():
-        lse = m_scr[0] + jnp.log(l_scr[0])
-        lse_ref[0, 0] = lse
-        nll_ref[0, 0] = lse - lab_scr[0]
+        lse_ref[0, 0] = m_scr[0] + jnp.log(l_scr[0])
 
 
-def _dg_kernel(g_ref, e_ref, bias_ref, labels_ref, lse_ref, dnll_ref,
+def _dg_kernel(g_ref, e_ref, bias_ref, lse_ref, dnll_ref,
                dg_ref, acc_scr, *, vt: int):
     v = pl.program_id(1)
 
@@ -87,8 +85,7 @@ def _dg_kernel(g_ref, e_ref, bias_ref, labels_ref, lse_ref, dnll_ref,
 
     s = _tile(g_ref, e_ref, bias_ref)
     p = jnp.exp(s - lse_ref[0, 0][:, None])
-    hit = _label_hit(labels_ref[0, 0], v, vt, s.shape)
-    dl = (p - hit.astype(jnp.float32)) * dnll_ref[0, 0][:, None]
+    dl = p * dnll_ref[0, 0][:, None]
     acc_scr[...] += jax.lax.dot_general(
         dl.astype(e_ref.dtype), e_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)               # [Tt, D]
@@ -132,36 +129,42 @@ def _pad_tokens(g, labels, tt: int):
     return g, labels, n
 
 
+def _label_logit(g, table, bias, labels):
+    """Rowwise logits[i, labels[i]] as a [N, D] row gather + dot — the
+    embedding-lookup pattern XLA lowers natively on TPU, far cheaper than
+    an in-kernel one-hot masked sum over every [Tt, Vt] tile."""
+    rows = table[labels].astype(jnp.float32)              # [N, D]
+    return (jnp.sum(g.astype(jnp.float32) * rows, axis=-1)
+            + bias.astype(jnp.float32)[labels])
+
+
 @functools.partial(jax.jit, static_argnames=("tt", "vt", "interpret"))
 def _fwd(g, table, bias, labels, tt: int, vt: int, interpret: bool):
     g, labels, n = _pad_tokens(g, labels, tt)
     npad, d = g.shape
     V = table.shape[0]
     assert V % vt == 0, (V, vt)
-    labels2 = labels.reshape(-1, 1, tt)
     grid = (npad // tt, V // vt)
 
-    nll, lse = pl.pallas_call(
+    lse = pl.pallas_call(
         functools.partial(_fwd_kernel, vt=vt),
-        out_shape=(jax.ShapeDtypeStruct((npad // tt, 1, tt), jnp.float32),
-                   jax.ShapeDtypeStruct((npad // tt, 1, tt), jnp.float32)),
+        out_shape=jax.ShapeDtypeStruct((npad // tt, 1, tt), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tt, d), lambda t, v: (t, 0)),
             pl.BlockSpec((vt, d), lambda t, v: (v, 0)),
             pl.BlockSpec((1, vt), lambda t, v: (0, v)),
-            pl.BlockSpec((1, 1, tt), lambda t, v: (t, 0, 0)),
         ],
-        out_specs=(pl.BlockSpec((1, 1, tt), lambda t, v: (t, 0, 0)),
-                   pl.BlockSpec((1, 1, tt), lambda t, v: (t, 0, 0))),
+        out_specs=pl.BlockSpec((1, 1, tt), lambda t, v: (t, 0, 0)),
         scratch_shapes=[pltpu.VMEM((1, tt), jnp.float32),
-                        pltpu.VMEM((1, tt), jnp.float32),
                         pltpu.VMEM((1, tt), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(g, table, bias.reshape(1, -1).astype(jnp.float32), labels2)
-    return nll.reshape(-1)[:n], lse.reshape(-1), g, labels
+    )(g, table, bias.reshape(1, -1).astype(jnp.float32))
+    lse = lse.reshape(-1)
+    nll = lse[:n] - _label_logit(g[:n], table, bias, labels[:n])
+    return nll, lse, g, labels
 
 
 @functools.partial(jax.jit, static_argnames=("tt", "vt", "interpret"))
@@ -184,7 +187,6 @@ def _bwd(g_padded, table, bias, labels_padded, lse, dnll,
         pl.BlockSpec((1, vt), lambda t, v: (0, v)),
         pl.BlockSpec((1, 1, tt), lambda t, v: (t, 0, 0)),
         pl.BlockSpec((1, 1, tt), lambda t, v: (t, 0, 0)),
-        pl.BlockSpec((1, 1, tt), lambda t, v: (t, 0, 0)),
     ]
     dg = pl.pallas_call(
         functools.partial(_dg_kernel, vt=vt),
@@ -196,7 +198,11 @@ def _bwd(g_padded, table, bias, labels_padded, lse, dnll,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(g_padded, table, bias2, labels2, lse2, dnll2)
+    )(g_padded, table, bias2, lse2, dnll2)
+    # The -onehot(label) part of dlogits, applied as a row gather of E:
+    # dg_full = ((p - onehot) * dnll) @ E = kernel - dnll * E[label].
+    dg = dg - (dnll2.reshape(-1, 1)
+               * table[labels_padded]).astype(dg.dtype)
 
     swapped = [
         pl.BlockSpec((tt, d), lambda v, t: (t, 0)),
@@ -225,13 +231,17 @@ def _bwd(g_padded, table, bias, labels_padded, lse, dnll,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def fused_tied_cross_entropy(g, table, bias, labels, tt: int = 512,
+def fused_tied_cross_entropy(g, table, bias, labels, tt: int = 1024,
                              vt: int = 1024, interpret: bool = False):
     """Per-token NLL of logits = g @ table^T + bias, fused on TPU.
 
     g: [N, D] (any float dtype), table: [V, D], bias: [V], labels: [N]
     int32 (0 = PAD; the caller masks). Returns nll [N] fp32. Differentiable
     in g / table / bias via the fused backward kernels.
+
+    Tile defaults from the on-chip sweep at the bench shape (n=102400,
+    V=32768, D=512; bench.py --mode cetune, round 3): tt=1024/vt=1024
+    measured 11.6% faster fwd+bwd than the previous 512/1024.
     """
     nll, _, _, _ = _fwd(g, table, bias, labels, tt, vt, interpret)
     return nll

@@ -261,6 +261,51 @@ class TestDReG:
         assert np.isfinite(gnorm) and gnorm > 0.0
 
 
+class TestFreeBits:
+    """hparams.free_bits: per-dimension KL floor in the ELBO's KL term
+    (vae.py loss_sums). The floor must raise the composed loss KL for a
+    collapsed posterior while leaving the LOGGED train_kl raw, and must
+    clamp before summing (linear-compose contract)."""
+
+    def test_floor_raises_loss_kl_but_not_logged_kl(self, rng):
+        tokens = jnp.concatenate(
+            [jnp.ones((2, 1), jnp.int32),
+             jax.random.randint(rng, (2, 15), 3, 512)], axis=1)
+        batch = {"token_ids": tokens,
+                 "num_tokens": jnp.full((2,), 16, jnp.int32),
+                 "num_bytes": jnp.full((2,), 64, jnp.int32)}
+        results = {}
+        for fb in (0.0, 0.25):
+            hp = tiny_hparams(free_bits=fb)
+            model = LSTMVAE(hp)
+            params = model.init({"params": jax.random.PRNGKey(0),
+                                 "sample": jax.random.PRNGKey(0)},
+                                tokens)["params"]
+            objective = VAEObjective(hp)
+            sums, counts = objective.loss_sums(
+                model, params, batch, jnp.asarray(0), jax.random.PRNGKey(1))
+            loss, metrics = objective.compose_loss(sums, counts,
+                                                   jnp.asarray(0))
+            results[fb] = (sums, metrics, float(loss))
+        # Same params/rng: raw (logged) KL identical, floored loss KL larger.
+        assert np.isclose(float(results[0.0][0]["raw_kl_sum"]),
+                          float(results[0.25][0]["raw_kl_sum"]))
+        # At init the posterior is near-standard-normal, so most of the 8
+        # latent dims sit below 0.25 nats and the floor binds.
+        assert (float(results[0.25][0]["kl_sum"])
+                > float(results[0.0][0]["kl_sum"]))
+        assert np.isclose(float(results[0.0][1]["train_kl"]),
+                          float(results[0.25][1]["train_kl"]))
+
+    def test_floor_inactive_when_kl_large(self, rng):
+        from sparse_vae_tpu.models.vae import kl_sums
+        raw_kl = jnp.full((2, 8), 3.0)
+        nt = jnp.full((2,), 16, jnp.int32)
+        plain = kl_sums(raw_kl, nt)
+        floored = kl_sums(jnp.maximum(raw_kl, 0.25), nt)
+        assert np.isclose(float(plain[0]), float(floored[0]))
+
+
 class TestBiLSTMRaggedLengths:
     def test_masked_encoder_equals_per_row_trimmed(self):
         """BiLSTMEncoder on a padded batch with ragged masks must equal
