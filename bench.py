@@ -417,7 +417,10 @@ def main():
     parser.add_argument("--profile", action="store_true",
                         help="jax.profiler trace of the timed steps to "
                              "/tmp/svt-profile")
-    parser.add_argument("--remat", default="dots",
+    # Default from the round-3 on-chip A/B (BASELINE.md): saving the
+    # head-major q/k/v AND the attention kernel output beats plain 'dots'
+    # (360.0 vs 362.1 ms/step); saving only the output loses (372.7).
+    parser.add_argument("--remat", default="dots_attn_qkv",
                         choices=["full", "dots", "dots_attn",
                                  "dots_attn_qkv", "offload"])
     parser.add_argument("--batch", type=int, default=8)
