@@ -390,8 +390,8 @@ def bench_cetune(args):
         return timeit(fwd), timeit(both)
 
     best = None
-    for tt in (256, 512, 1024):
-        for vt in (1024, 2048, 4096):
+    for tt in (512, 1024, 2048):
+        for vt in (512, 1024, 2048):
             try:
                 f_ms, fb_ms = run(tt, vt)
             except Exception as e:

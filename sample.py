@@ -55,8 +55,12 @@ def main(args):
     from datasets import Dataset
     dataset_path = Path.cwd() / "sparse-vae-datasets" / "samples" / name
     dataset = Dataset.from_dict({"text": texts})
-    test_size = min(50_000, max(1, len(outputs) // 10))
-    dataset = dataset.train_test_split(test_size=test_size)
+    # The reference always carves out a 50k test split (sample.py:23-25); at
+    # its 700k default that is fine, but tiny qualitative runs (num_samples=1)
+    # cannot split, so only split when a non-degenerate one exists.
+    test_size = min(50_000, len(outputs) // 10)
+    if test_size >= 1:
+        dataset = dataset.train_test_split(test_size=test_size)
     dataset.save_to_disk(str(dataset_path))
     print("Done.")
 
