@@ -24,6 +24,7 @@ def main(args):
     seq = int(extra.get("seq", 8192))
     batch = int(extra.get("batch", 1))
     window = int(extra.get("window", 512))
+    draft = int(extra.get("draft", 3))
     run_full = extra.get("full", "0") == "1"
     modes = extra.get("modes", "greedy,sampled").split(",")
 
@@ -51,13 +52,14 @@ def main(args):
                                                 else (batch,)),
                 sampling, end_token=-1, method=type(module).sample)
 
-        @functools.partial(jax.jit, static_argnums=(1,))
-        def frontier(rng, fused):
+        @functools.partial(jax.jit, static_argnums=(1, 2))
+        def frontier(rng, fused, ngram):
             return module.apply(
                 {"params": params}, rng, seq, *((batch, z) if is_vae
                                                 else (batch,)),
                 sampling, end_token=-1, window_tokens=window,
-                fused_select=fused, method=type(module).frontier_generate)
+                fused_select=fused, draft_ngram=ngram,
+                method=type(module).frontier_generate)
 
         @jax.jit
         def full_jacobi(rng):
@@ -76,12 +78,15 @@ def main(args):
         t_ar, ar_out = timed(ar)
         rows = {"ar": (t_ar, seq - 1)}
         if getattr(hparams, "sparse_self_attention", False):
-            t_f, (f_out, f_it) = timed(frontier, False)
+            t_f, (f_out, f_it) = timed(frontier, False, 0)
             rows["frontier"] = (t_f, int(f_it))
+            if draft > 0:
+                t_fd, (fd_out, fd_it) = timed(frontier, False, draft)
+                rows[f"frontier_draft{draft}"] = (t_fd, int(fd_it))
             greedy = sampling.temperature <= 0.0 or sampling.top_k == 1
             if not greedy:
                 try:
-                    t_ff, (ff_out, ff_it) = timed(frontier, True)
+                    t_ff, (ff_out, ff_it) = timed(frontier, True, 0)
                     rows["frontier_fused"] = (t_ff, int(ff_it))
                 except Exception as e:
                     print(f"# frontier_fused failed: {type(e).__name__}: "

@@ -393,12 +393,14 @@ class TransformerLanguageModel(nn.Module):
                           window_tokens: int = 512,
                           max_iters: Optional[int] = None,
                           fused_select: bool = False,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          draft_ngram: int = 0):
         """Non-AR generation with per-pass cost independent of document
         length: Jacobi iteration restricted to an active window at the
         convergence frontier (models/parallel_decode.frontier_jacobi_decode).
-        Sparse (sliding-window) models only. Returns (tokens [B, length-1]
-        sans start token, iterations)."""
+        draft_ngram > 0 enables suffix-match (prompt-lookup) drafting of
+        the window initialization. Sparse (sliding-window) models only.
+        Returns (tokens [B, length-1] sans start token, iterations)."""
         if not self.hparams.sparse_self_attention:
             raise ValueError("frontier_generate requires the sparse "
                              "sliding-window attention configuration")
@@ -411,7 +413,8 @@ class TransformerLanguageModel(nn.Module):
             lambda c, kvs, f: push_window_blocks(c, kvs, f, bs),
             self.init_window_caches(batch_size),
             batch_size, length, rng, sampling, start_token, end_token,
-            window_tokens, bs, max_iters, fused_select, interpret)
+            window_tokens, bs, max_iters, fused_select, interpret,
+            draft_ngram)
         return tokens[:, 1:], iters
 
     def parallel_generate(self, rng, length: int, batch_size: int = 1,

@@ -194,7 +194,8 @@ class TransformerVAE(TransformerLanguageModel):
                           window_tokens: int = 512,
                           max_iters: Optional[int] = None,
                           fused_select: bool = False,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          draft_ngram: int = 0):
         """Frontier-windowed non-AR generation from z (see
         TransformerLanguageModel.frontier_generate)."""
         if not self.hparams.sparse_self_attention:
@@ -213,7 +214,8 @@ class TransformerVAE(TransformerLanguageModel):
             lambda c, kvs, f: push_window_blocks(c, kvs, f, bs),
             self.init_window_caches(batch_size),
             batch_size, length, d_rng, sampling, start_token, end_token,
-            window_tokens, bs, max_iters, fused_select, interpret)
+            window_tokens, bs, max_iters, fused_select, interpret,
+            draft_ngram)
         return tokens[:, 1:], iters
 
     def parallel_generate(self, rng, length: int, batch_size: int = 1,

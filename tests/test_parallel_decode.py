@@ -251,3 +251,82 @@ class TestFrontierJacobi:
         with pytest.raises(ValueError, match="sparse"):
             model.apply({"params": params}, jax.random.PRNGKey(0), 64, 1,
                         GREEDY, method=model.frontier_generate)
+
+    def test_draft_preserves_greedy_ar_equivalence(self, sparse_lm):
+        """Suffix-match drafting only changes window initializations; the
+        fixed point must still be the exact greedy AR trajectory."""
+        model, params = sparse_lm
+        L = 128
+        ar = model.apply({"params": params}, jax.random.PRNGKey(0), L,
+                         2, GREEDY, method=model.sample)
+        fr, _ = model.apply(
+            {"params": params}, jax.random.PRNGKey(0), L, 2, GREEDY,
+            window_tokens=64, draft_ngram=3,
+            method=model.frontier_generate)
+        for a_row, f_row in zip(np.asarray(ar), np.asarray(fr)):
+            np.testing.assert_array_equal(a_row, f_row)
+
+    def test_draft_preserves_sampled_fixed_point(self, sparse_lm):
+        """Drafted and undrafted frontier decoding converge to the same
+        ancestral sample (the noise grid pins the fixed point)."""
+        model, params = sparse_lm
+        sampling = SamplingParams(temperature=1.0, top_p=0.9,
+                                  repetition_penalty=1.2)
+        rng = jax.random.PRNGKey(11)
+        base, _ = model.apply(
+            {"params": params}, rng, 128, 2, sampling, window_tokens=64,
+            method=model.frontier_generate)
+        drafted, _ = model.apply(
+            {"params": params}, rng, 128, 2, sampling, window_tokens=64,
+            draft_ngram=4, method=model.frontier_generate)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(drafted))
+
+
+class TestSuffixMatchDraft:
+    """Unit mechanics of parallel_decode._suffix_match_draft."""
+
+    def _draft(self, buffer, win_old, frontier, ngram):
+        from sparse_vae_tpu.models.parallel_decode import _suffix_match_draft
+        return np.asarray(_suffix_match_draft(
+            jnp.asarray(buffer, jnp.int32), jnp.asarray(win_old, jnp.int32),
+            jnp.asarray(frontier, jnp.int32), ngram))
+
+    def test_periodic_continuation_is_drafted(self):
+        # Settled text: period-4 cycle 5,6,7,8 occupying positions 0..11;
+        # window starts at 8; the pass changed position 9 (old 0 -> new 6,
+        # continuing the cycle). Draft should copy the cycle onward.
+        period = [5, 6, 7, 8]
+        buffer = np.zeros((1, 24), np.int32)
+        buffer[0, :10] = (period * 3)[:10]           # ends ...5, 6 at pos 9
+        win_old = buffer[0, 8:16].copy()
+        win_old[1] = 0                               # pos 9 changed this pass
+        out = self._draft(buffer, win_old[None], 8, 2)
+        # cascade at window coord 1 (pos 9); latest earlier "5,6" ends at
+        # pos 5; continuation 7,8,5,6,... fills coords 2..8 (pos 10..16).
+        np.testing.assert_array_equal(out[0, 10:17], [7, 8, 5, 6, 7, 8, 5])
+        # Frozen/settled region untouched.
+        np.testing.assert_array_equal(out[0, :10], buffer[0, :10])
+
+    def test_no_match_leaves_buffer_unchanged(self):
+        buffer = np.arange(1, 25, dtype=np.int32)[None]  # all-distinct
+        win_old = buffer[0, 8:16].copy()
+        win_old[2] = 0                               # a change, no repeat
+        out = self._draft(buffer, win_old[None], 8, 3)
+        np.testing.assert_array_equal(out, buffer)
+
+    def test_no_change_means_no_draft(self):
+        buffer = np.zeros((1, 24), np.int32)
+        buffer[0, :12] = [5, 6, 7, 5, 6, 7, 5, 6, 7, 5, 6, 7]
+        win_old = buffer[0, 8:16].copy()             # identical: converged
+        out = self._draft(buffer, win_old[None], 8, 2)
+        np.testing.assert_array_equal(out, buffer)
+
+    def test_rows_draft_independently(self):
+        buffer = np.zeros((2, 24), np.int32)
+        buffer[0, :10] = [5, 6, 7, 8, 5, 6, 7, 8, 5, 6]
+        buffer[1, :24] = np.arange(1, 25)            # no repeats in row 1
+        win_old = buffer[:, 8:16].copy()
+        win_old[:, 1] = 99                           # both rows changed
+        out = self._draft(buffer, win_old, 8, 2)
+        np.testing.assert_array_equal(out[0, 10:13], [7, 8, 5])
+        np.testing.assert_array_equal(out[1], buffer[1])
