@@ -425,6 +425,9 @@ def main():
                                  "dots_attn_qkv", "offload"])
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--seq", type=int, default=12800)
+    parser.add_argument("--heads", type=int, default=8,
+                        help="attention heads for the train bench (4 -> "
+                             "Dh=128 lane-filling geometry)")
     parser.add_argument("--frontier-window", type=int, default=512,
                         help="active-window tokens for frontier Jacobi")
     parser.add_argument("--mode",
@@ -474,8 +477,12 @@ def main():
             loss_chunk_size=256, use_pallas_kernel=False, precision="fp32")
     else:
         b, L = args.batch, args.seq
+        # --heads 4 gives Dh=128 — the geometry where per-head slices fill
+        # the 128-lane registers and the custom-call boundary copies vanish
+        # (BASELINE.md attention-layout experiments). The canonical bench
+        # stays at the reference's 8 heads (Dh=64).
         hp = TransformerVAEHparams(
-            d_model=512, num_heads=8, num_layers=6, latent_depth=64,
+            d_model=512, num_heads=args.heads, num_layers=6, latent_depth=64,
             vocab_size=2 ** 15, num_encoder_latents=64,
             sparse_self_attention=True, attn_window_size=2,
             attn_block_size=128, grad_checkpointing=True,
