@@ -402,6 +402,12 @@ def bench_cetune(args):
                   file=sys.stderr)
             if best is None or fb_ms < best[2]:
                 best = (tt, vt, fb_ms)
+    if best is None:
+        print(json.dumps({
+            "metric": "fused_ce_fwd_bwd_ms", "value": 0,
+            "unit": f"ms at n={n}", "vs_baseline": 0,
+            "error": "no tile configuration compiled"}))
+        return
     print(json.dumps({
         "metric": "fused_ce_fwd_bwd_ms", "value": round(best[2], 1),
         "unit": f"ms at n={n} (tt={best[0]}, vt={best[1]})",

@@ -98,10 +98,13 @@ def main(args):
                           for k, (t, it) in rows.items())
         print(f"# {label} batch=({batch},{seq}) {detail}", file=sys.stderr)
         best = min((t for k, (t, _) in rows.items() if k != "ar"),
-                   default=float("inf"))
+                   default=None)
         return {"mode": label, **{k: round(t, 3)
                                   for k, (t, _) in rows.items()},
-                "parallel_speedup_vs_ar": round(t_ar / best, 3)}
+                # null (not a fabricated 0.0) when no parallel decoder ran
+                # (dense checkpoint with full=0: AR is the only row).
+                "parallel_speedup_vs_ar": (round(t_ar / best, 3)
+                                           if best else None)}
 
     results = []
     if "greedy" in modes:

@@ -1,10 +1,14 @@
 #!/usr/bin/env python
 """Mass sampling: ``python sample.py <model> <run-name> [num_samples=700000]
-[batch_size=1000] [max_length=512]``.
+[batch_size=1000] [max_length=512] [ignore_end=0] [step=<n|best>]``.
 
 Counterpart of /root/reference/sample.py: loads the newest checkpoint, mass
 generates samples with the on-device decode loop, and saves an HF dataset
 with a 50k test split (:16-25). Defaults match the reference workload.
+``ignore_end=1`` disables the [SEP] stop so every sample runs to
+max_length — for full-length qualitative documents from long-context
+(pg19-configuration) checkpoints, whose training streams contain
+document-boundary separators the sampler would otherwise stop at.
 """
 import sys
 from pathlib import Path
@@ -20,27 +24,29 @@ def main(args):
     num_samples = int(extra.get("num_samples", 700_000))
     batch_size = int(extra.get("batch_size", 1000))
     max_length = int(extra.get("max_length", 512))
+    ignore_end = extra.get("ignore_end", "0") == "1"
 
     from sparse_vae_tpu import load_checkpoint_for_name
     from sparse_vae_tpu.batch_generation import batch_generate_samples
     from sparse_vae_tpu.data.tokenizer import SEP_ID
 
     module, hparams, objective, state, meta = load_checkpoint_for_name(
-        experiment, name)
+        experiment, name, step=extra.get("step"))
     params = state["params"]
+    end = -1 if ignore_end else SEP_ID
 
     import functools
 
     @functools.partial(jax.jit)
     def sample_batch(rng):
         return module.apply({"params": params}, rng, max_length, batch_size,
-                            method=type(module).sample)
+                            end_token=end, method=type(module).sample)
 
     def sample_fn(i):
         return sample_batch(jax.random.PRNGKey(i))
 
     outputs = batch_generate_samples(sample_fn, num_samples, max_length,
-                                     end_token=SEP_ID)
+                                     end_token=None if ignore_end else SEP_ID)
 
     print("Saving to disk...")
     # Decode to text like the reference (sample.py:19-22); the tokenizer is

@@ -103,6 +103,15 @@ class VAEObjective:
         drop_rng, sample_rng, mi_rng = jax.random.split(rng, 3)
         rngs = {"dropout": drop_rng, "sample": sample_rng}
         if getattr(self.hp, "train_mc_samples", 1) > 1:
+            if getattr(self.hp, "free_bits", 0.0) > 0.0:
+                # The IWAE/DReG objective has no separate KL term to floor
+                # (KL lives inside each importance weight), so a free-bits
+                # clamp is undefined there. Fail loudly rather than train
+                # as plain DReG while the config claims a floor.
+                raise ValueError(
+                    "free_bits requires train_mc_samples=1: the multi-"
+                    "sample (IWAE/DReG) objective has no per-dimension KL "
+                    "term to clamp")
             return self._multi_sample_sums(module, params, batch, rngs)
         if getattr(self.hp, "loss_chunk_size", 0) and hasattr(
                 type(module), "forward_chunked_nll"):

@@ -190,7 +190,12 @@ def _bwd(g_padded, table, bias, labels_padded, lse, dnll,
     ]
     dg = pl.pallas_call(
         functools.partial(_dg_kernel, vt=vt),
-        out_shape=jax.ShapeDtypeStruct((npad, d), g_padded.dtype),
+        # fp32 out: the -onehot correction below cancels against the
+        # kernel's p@E term almost exactly for well-predicted tokens
+        # (p[label] ~ 1 => dg ~ 0); subtracting two bf16 roundings would
+        # leave absolute noise far above the true near-zero gradient, so
+        # the cancellation must happen in fp32 and round once at the end.
+        out_shape=jax.ShapeDtypeStruct((npad, d), jnp.float32),
         grid=(grid_t, grid_v),
         in_specs=common,
         out_specs=pl.BlockSpec((tt, d), lambda t, v: (t, 0)),
@@ -201,8 +206,8 @@ def _bwd(g_padded, table, bias, labels_padded, lse, dnll,
     )(g_padded, table, bias2, lse2, dnll2)
     # The -onehot(label) part of dlogits, applied as a row gather of E:
     # dg_full = ((p - onehot) * dnll) @ E = kernel - dnll * E[label].
-    dg = dg - (dnll2.reshape(-1, 1)
-               * table[labels_padded]).astype(dg.dtype)
+    dg = (dg - dnll2.reshape(-1, 1)
+          * table[labels_padded].astype(jnp.float32)).astype(g_padded.dtype)
 
     swapped = [
         pl.BlockSpec((tt, d), lambda v, t: (t, 0)),
