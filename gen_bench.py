@@ -80,10 +80,15 @@ def main(args):
         if getattr(hparams, "sparse_self_attention", False):
             t_f, (f_out, f_it) = timed(frontier, False, 0)
             rows["frontier"] = (t_f, int(f_it))
-            if draft > 0:
+            greedy = sampling.temperature <= 0.0 or sampling.top_k == 1
+            if draft > 0 and greedy:
+                # Greedy only: suffix-match drafts cannot anticipate the
+                # Gumbel-perturbed fixed point, and overwriting the stale
+                # tail (often already correct under settled context) drives
+                # sampled runs toward the max_iters ceiling — long enough
+                # to trip the device execution limit.
                 t_fd, (fd_out, fd_it) = timed(frontier, False, draft)
                 rows[f"frontier_draft{draft}"] = (t_fd, int(fd_it))
-            greedy = sampling.temperature <= 0.0 or sampling.top_k == 1
             if not greedy:
                 try:
                     t_ff, (ff_out, ff_it) = timed(frontier, True, 0)
