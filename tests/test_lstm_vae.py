@@ -297,6 +297,27 @@ class TestFreeBits:
         assert np.isclose(float(results[0.0][1]["train_kl"]),
                           float(results[0.25][1]["train_kl"]))
 
+    def test_rejects_multi_sample_objective(self, rng):
+        """free_bits + train_mc_samples>1 must fail loudly: the IWAE/DReG
+        objective has no KL term to floor, so the combination would
+        silently train as plain DReG."""
+        import pytest
+        tokens = jnp.concatenate(
+            [jnp.ones((2, 1), jnp.int32),
+             jax.random.randint(rng, (2, 15), 3, 512)], axis=1)
+        batch = {"token_ids": tokens,
+                 "num_tokens": jnp.full((2,), 16, jnp.int32),
+                 "num_bytes": jnp.full((2,), 64, jnp.int32)}
+        hp = tiny_hparams(free_bits=0.25, train_mc_samples=4)
+        model = LSTMVAE(hp)
+        params = model.init({"params": jax.random.PRNGKey(0),
+                             "sample": jax.random.PRNGKey(0)},
+                            tokens)["params"]
+        objective = VAEObjective(hp)
+        with pytest.raises(ValueError, match="free_bits"):
+            objective.loss_sums(model, params, batch, jnp.asarray(0),
+                                jax.random.PRNGKey(1))
+
     def test_floor_inactive_when_kl_large(self, rng):
         from sparse_vae_tpu.models.vae import kl_sums
         raw_kl = jnp.full((2, 8), 3.0)

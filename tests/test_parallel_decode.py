@@ -321,6 +321,17 @@ class TestSuffixMatchDraft:
         out = self._draft(buffer, win_old[None], 8, 2)
         np.testing.assert_array_equal(out, buffer)
 
+    def test_draft_with_single_block_window(self, sparse_lm):
+        """W == block_size: nblk=1, the draft covers coords 1..W only."""
+        model, params = sparse_lm
+        ar = model.apply({"params": params}, jax.random.PRNGKey(0), 96,
+                         1, GREEDY, method=model.sample)
+        fr, _ = model.apply(
+            {"params": params}, jax.random.PRNGKey(0), 96, 1, GREEDY,
+            window_tokens=32, draft_ngram=2,
+            method=model.frontier_generate)
+        np.testing.assert_array_equal(np.asarray(ar), np.asarray(fr))
+
     def test_rows_draft_independently(self):
         buffer = np.zeros((2, 24), np.int32)
         buffer[0, :10] = [5, 6, 7, 8, 5, 6, 7, 8, 5, 6]
