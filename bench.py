@@ -40,9 +40,20 @@ def supervise(argv, script=None, backoff_s=BACKOFF_S):
     script = script or os.path.abspath(__file__)
     last_err = "unknown"
     for attempt in range(1, ATTEMPTS + 1):
-        proc = subprocess.run(
-            [sys.executable, script, "--_inner"] + argv,
-            stdout=subprocess.PIPE, text=True)
+        try:
+            # A dead tunnel/worker hangs the JAX client indefinitely at
+            # backend init (no error raised) — bound each attempt so the
+            # supervisor still emits its JSON line. First attempt gets cold
+            # Mosaic-compile headroom.
+            proc = subprocess.run(
+                [sys.executable, script, "--_inner"] + argv,
+                stdout=subprocess.PIPE, text=True,
+                timeout=1800 if attempt == 1 else 900)
+        except subprocess.TimeoutExpired as e:
+            proc = subprocess.CompletedProcess(
+                e.cmd, returncode=-1,
+                stdout=(e.stdout.decode() if isinstance(e.stdout, bytes)
+                        else e.stdout) or "")
         json_line = None
         for line in (proc.stdout or "").splitlines():
             line = line.strip()
