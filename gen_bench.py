@@ -12,8 +12,39 @@ full-document Jacobi mode (slow on trained checkpoints; round-2 numbers).
 """
 import functools
 import json
+import os
+import subprocess
 import sys
 import time
+
+
+def supervise(argv):
+    """Run the benchmark in a bounded subprocess. A wedged TPU tunnel
+    blocks the JAX client without raising (measured: a >60s device
+    execution can crash the worker and hang every later call), so the
+    default invocation gets a hard timeout and always emits a JSON line."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--_inner"]
+            + argv[1:], stdout=subprocess.PIPE, text=True, timeout=2700)
+        out = proc.stdout or ""
+        rc = proc.returncode
+    except subprocess.TimeoutExpired as e:
+        out = (e.stdout.decode() if isinstance(e.stdout, bytes)
+               else e.stdout) or ""
+        rc = -1
+    json_line = None
+    for line in out.splitlines():
+        if line.strip().startswith("{"):
+            json_line = line.strip()
+        elif line.strip():
+            print(line, file=sys.stderr)
+    if json_line is not None:
+        print(json_line)
+    else:
+        print(json.dumps({"metric": "trained_generation_equal_length",
+                          "runs": [],
+                          "error": f"inner run produced no JSON (rc={rc})"}))
 
 
 def main(args):
@@ -123,4 +154,7 @@ def main(args):
 
 
 if __name__ == "__main__":
-    main(sys.argv)
+    if "--_inner" in sys.argv:
+        main([a for a in sys.argv if a != "--_inner"])
+    else:
+        supervise(sys.argv)
