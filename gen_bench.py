@@ -1,7 +1,9 @@
 #!/usr/bin/env python
 """Trained-checkpoint generation benchmark at EQUAL generated lengths:
 ``python gen_bench.py <model> <run-name> [seq=8192] [batch=1] [full=0]
-[window=512] [modes=greedy,sampled]``.
+[window=512] [modes=greedy,sampled] [draft=3] [step=<n|best>]``.
+``draft=N`` adds a frontier row with suffix-match drafting (greedy modes
+only; 0 disables); ``step`` selects the checkpoint (default newest).
 
 Round 2's trained-checkpoint AR-vs-Jacobi table compared unequal work (the
 AR run emitted [SEP] early while Jacobi converged the whole buffer —
@@ -13,38 +15,23 @@ full-document Jacobi mode (slow on trained checkpoints; round-2 numbers).
 import functools
 import json
 import os
-import subprocess
 import sys
 import time
 
 
 def supervise(argv):
-    """Run the benchmark in a bounded subprocess. A wedged TPU tunnel
-    blocks the JAX client without raising (measured: a >60s device
-    execution can crash the worker and hang every later call), so the
-    default invocation gets a hard timeout and always emits a JSON line."""
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--_inner"]
-            + argv[1:], stdout=subprocess.PIPE, text=True, timeout=2700)
-        out = proc.stdout or ""
-        rc = proc.returncode
-    except subprocess.TimeoutExpired as e:
-        out = (e.stdout.decode() if isinstance(e.stdout, bytes)
-               else e.stdout) or ""
-        rc = -1
-    json_line = None
-    for line in out.splitlines():
-        if line.strip().startswith("{"):
-            json_line = line.strip()
-        elif line.strip():
-            print(line, file=sys.stderr)
-    if json_line is not None:
-        print(json_line)
-    else:
-        print(json.dumps({"metric": "trained_generation_equal_length",
-                          "runs": [],
-                          "error": f"inner run produced no JSON (rc={rc})"}))
+    """Bounded single-shot run via bench.supervise (one tested supervisor
+    implementation): a wedged TPU tunnel blocks the JAX client without
+    raising (measured: a >60s device execution can crash the worker and
+    hang every later call), so the default invocation gets a hard timeout
+    and always emits a JSON line."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bench import supervise as bench_supervise
+    bench_supervise(
+        argv[1:], script=os.path.abspath(__file__), attempts=1,
+        timeout_first=2700, accept_nonzero=False,
+        error_payload={"metric": "trained_generation_equal_length",
+                       "runs": [], "error": "inner run failed or hung"})
 
 
 def main(args):

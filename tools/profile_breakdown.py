@@ -2,7 +2,7 @@
 """Leaf-op time breakdown of a jax.profiler trace:
 ``python tools/profile_breakdown.py [profile_root] [steps]``.
 
-Reads the newest ``vm.trace.json.gz`` under the profile root (default
+Reads the newest ``<hostname>.trace.json.gz`` under the profile root (default
 /tmp/svt-profile, as written by ``bench.py --profile``), takes the
 device's "XLA Ops" lane (leaf executions only — the Steps / XLA Modules
 lanes duplicate the same wall time as containers), and prints per-step
@@ -17,18 +17,18 @@ import json
 import sys
 
 
+# The CE backward's dg and dE pallas calls both execute inside the `_bwd`
+# jit and are not separable from the trace's op names — the bucket reports
+# their sum.
 BUCKETS = [
     ("_bwd_pallas", "attention pallas bwd kernels"),
     ("_sliding_window_attention_fwd_pallas", "attention pallas fwd"),
     ("fwd_kernel", "attention pallas fwd"),
-    ("_dg", "CE dg kernel"),
-    ("_de", "CE dE kernel"),
     ("_bwd", "CE backward (dg+dE jit)"),
     ("_fwd", "CE forward kernel"),
     ("copy", "copies/transposes"),
     ("transpose", "copies/transposes"),
     ("fusion", "XLA fusions"),
-    ("custom-call", "custom-call other"),
 ]
 
 
@@ -44,9 +44,10 @@ def bucket(name: str) -> str:
 def main(argv):
     root = argv[1] if len(argv) > 1 else "/tmp/svt-profile"
     steps = int(argv[2]) if len(argv) > 2 else 10
-    traces = sorted(glob.glob(f"{root}/plugins/profile/*/vm.trace.json.gz"))
+    # jax.profiler names the file <hostname>.trace.json.gz.
+    traces = sorted(glob.glob(f"{root}/plugins/profile/*/*.trace.json.gz"))
     if not traces:
-        sys.exit(f"no vm.trace.json.gz under {root}")
+        sys.exit(f"no *.trace.json.gz under {root}")
     path = traces[-1]
     print(f"# {path}", file=sys.stderr)
     with gzip.open(path) as f:
@@ -56,9 +57,16 @@ def main(argv):
     lanes = {(e.get("pid"), e.get("tid")): e["args"].get("name")
              for e in events
              if e.get("ph") == "M" and e.get("name") == "thread_name"}
-    op_lanes = {k for k, v in lanes.items() if v == "XLA Ops"}
-    if not op_lanes:
+    all_op_lanes = {k for k, v in lanes.items() if v == "XLA Ops"}
+    if not all_op_lanes:
         sys.exit("no 'XLA Ops' lane in trace (CPU-only profile?)")
+    # One lane per device — report device 0 only, so a multi-chip trace is
+    # not silently summed N-fold.
+    pid0 = min(pid for pid, _ in all_op_lanes)
+    op_lanes = {k for k in all_op_lanes if k[0] == pid0}
+    if len(all_op_lanes) > len(op_lanes):
+        print(f"# {len(all_op_lanes)} device op lanes; reporting device "
+              f"pid={pid0} only", file=sys.stderr)
 
     agg = collections.Counter()
     raw = collections.Counter()
