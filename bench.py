@@ -126,6 +126,14 @@ def bench_generate(args):
         return model.apply({"params": params}, rng, L, b, z, sampling,
                            method=model.sample)
 
+    @jax.jit
+    def ar_fused(params, rng):
+        # Selection through the VMEM-resident kernel: one HBM read of the
+        # [B, V] logits per AR step instead of ~24 bisection sweeps — the
+        # lever that matters at mass-sampling batch sizes (b >= 64).
+        return model.apply({"params": params}, rng, L, b, z, sampling,
+                           fused_select=True, method=model.sample)
+
     ITERS_PER_CALL = 8
 
     @jax.jit
@@ -190,6 +198,15 @@ def bench_generate(args):
         return float(np.mean(np.sum(np.asarray(tokens) != 0, axis=-1)))
 
     t_ar, ar_out = timed(ar)
+    # ar_fused is still AR (not a parallel mode): reported in the detail
+    # line, never as the "parallel" best.
+    t_af = None
+    if b >= 64:
+        try:
+            t_af, af_out = timed(ar_fused)
+        except Exception as e:
+            print(f"# ar_fused failed: {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:120]}", file=sys.stderr)
     t_j, (j_out, iters) = timed(jacobi)
     rows = {"jacobi": (t_j, int(iters), gen_len(j_out))}
     if sparse:
@@ -213,6 +230,8 @@ def bench_generate(args):
     detail = " ".join(
         f"{name}={t:.2f}s(passes={it},len={ln:.0f})"
         for name, (t, it, ln) in rows.items())
+    if t_af is not None:
+        detail = f"ar_fused={t_af:.2f}s " + detail
     print(f"# ar={t_ar:.2f}s(len={gen_len(ar_out):.0f}) {detail} "
           f"best={best_name} vs {L - 1} AR steps "
           f"(pass_reduction={(L - 1) / max(best_iters, 1):.1f}x) "

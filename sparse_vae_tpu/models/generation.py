@@ -95,12 +95,22 @@ def top_p_filter(logits, top_p: float, num_iters: int = 24):
 
 
 def process_logits(logits, state: DecodeState, params: SamplingParams,
-                   end_token: int) -> DecodeState:
+                   end_token: int, fused: bool = False,
+                   interpret: bool = False) -> DecodeState:
     """One decode step: penalize/filter/sample, write the token, advance.
 
     logits: [B, V] for the position `state.index`. Mirrors
     GenerationState.process_logits (generation.py:30-77) with masking in
     place of live-sample compaction.
+
+    fused=True routes the nucleus-sampled path (top_k=0, 0<top_p<1)
+    through the VMEM-resident selection kernel (ops/pallas_select.py):
+    temperature, top-p bisection, Gumbel-max and argmax in ONE read of the
+    [B, V] logits instead of ~24 bisection re-reads — the difference that
+    matters at mass-sampling batch sizes (sample.py's 1000×32k rows per
+    step). Same distribution as the categorical path (Gumbel-max IS
+    categorical sampling), drawn as explicit noise from the same
+    per-step rng split.
     """
     rng, sample_rng = jax.random.split(state.rng)
 
@@ -112,6 +122,12 @@ def process_logits(logits, state: DecodeState, params: SamplingParams,
     greedy = params.temperature <= 0.0 or params.top_k == 1
     if greedy:
         token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    elif fused and params.top_k == 0 and 0.0 < params.top_p < 1.0:
+        from ..ops.pallas_select import nucleus_gumbel_argmax
+        noise = jax.random.gumbel(sample_rng, logits.shape, jnp.float32)
+        token = nucleus_gumbel_argmax(
+            logits.astype(jnp.float32), noise, top_p=params.top_p,
+            temperature=params.temperature, interpret=interpret)
     else:
         logits = logits / params.temperature
 
@@ -147,7 +163,8 @@ def final_output(state: DecodeState) -> jax.Array:
 
 
 def decode_loop(state: DecodeState, logits_fn, carry, params: SamplingParams,
-                end_token: int, max_steps=None):
+                end_token: int, max_steps=None, fused_select: bool = False,
+                interpret: bool = False):
     """Generic AR decode: runs `logits_fn(state, carry) -> (logits, carry)`
     under lax.while_loop until every sample has emitted `end_token` or the
     buffer is full. The entire loop is one device computation — the TPU
@@ -170,7 +187,8 @@ def decode_loop(state: DecodeState, logits_fn, carry, params: SamplingParams,
     def body(loop):
         st, cr = loop
         logits, cr = logits_fn(st, cr)
-        return process_logits(logits, st, params, end_token), cr
+        return process_logits(logits, st, params, end_token,
+                              fused=fused_select, interpret=interpret), cr
 
     state, carry = jax.lax.while_loop(cond, body, (state, carry))
     return state, carry

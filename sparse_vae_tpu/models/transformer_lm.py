@@ -336,9 +336,14 @@ class TransformerLanguageModel(nn.Module):
 
     def sample(self, rng, max_length: int, batch_size: int = 1,
                sampling: SamplingParams = SamplingParams(),
-               start_token: int = 1, end_token: int = 2):
+               start_token: int = 1, end_token: int = 2,
+               fused_select: bool = False, interpret: bool = False):
         """AR sampling with explicit KV caches inside one lax.while_loop
-        (replaces Attention.kv_cache class-state, attention.py:148-162)."""
+        (replaces Attention.kv_cache class-state, attention.py:148-162).
+        fused_select=True selects nucleus-sampled tokens with the
+        VMEM-resident kernel — one HBM read of the [B, V] logits per step
+        instead of ~24 bisection sweeps; the lever for mass-sampling
+        batch sizes (sample.py)."""
         state = init_decode_state(batch_size, max_length, start_token, rng)
         caches = self.init_caches(batch_size, max_length)
 
@@ -347,13 +352,16 @@ class TransformerLanguageModel(nn.Module):
                 prev_tokens(st), caches, st.index - 1)
             return logits.astype(jnp.float32), caches
 
-        state, _ = decode_loop(state, logits_fn, caches, sampling, end_token)
+        state, _ = decode_loop(state, logits_fn, caches, sampling, end_token,
+                               fused_select=fused_select, interpret=interpret)
         return final_output(state)
 
     def sample_resumable(self, rng, max_length: int, batch_size: int = 1,
                          sampling: SamplingParams = SamplingParams(),
                          start_token: int = 1, end_token: int = 2,
-                         state=None, caches=None, max_steps=None):
+                         state=None, caches=None, max_steps=None,
+                         fused_select: bool = False,
+                         interpret: bool = False):
         """Bounded-slice AR sampling (see TransformerVAE.sample_resumable):
         decode at most max_steps tokens per device execution and pass the
         returned (state, caches) back in to continue."""
@@ -369,7 +377,8 @@ class TransformerLanguageModel(nn.Module):
             return logits.astype(jnp.float32), caches
 
         return decode_loop(state, logits_fn, caches, sampling, end_token,
-                           max_steps=max_steps)
+                           max_steps=max_steps, fused_select=fused_select,
+                           interpret=interpret)
 
     # -- frontier-windowed parallel decoding --------------------------------
     def init_window_caches(self, batch_size: int):

@@ -124,10 +124,12 @@ class TransformerVAE(TransformerLanguageModel):
 
     def sample(self, rng, max_length: int, batch_size: int = 1, z=None,
                sampling: SamplingParams = SamplingParams(),
-               start_token: int = 1, end_token: int = 2):
+               start_token: int = 1, end_token: int = 2,
+               fused_select: bool = False, interpret: bool = False):
         """Unconditional (z ~ N(0, I)) or conditional generation, one device
         computation (:95-128). The reference's kl_weight<1 refusal gate lives
-        in the sampling callback."""
+        in the sampling callback. fused_select: see
+        TransformerLanguageModel.sample."""
         z_rng, d_rng = jax.random.split(rng)
         if z is None:
             z = jax.random.normal(
@@ -140,13 +142,16 @@ class TransformerVAE(TransformerLanguageModel):
                 prev_tokens(st), caches, st.index - 1, z)
             return logits.astype(jnp.float32), caches
 
-        state, _ = decode_loop(state, logits_fn, caches, sampling, end_token)
+        state, _ = decode_loop(state, logits_fn, caches, sampling, end_token,
+                               fused_select=fused_select, interpret=interpret)
         return final_output(state)
 
     def sample_resumable(self, rng, max_length: int, batch_size: int = 1,
                          z=None, sampling: SamplingParams = SamplingParams(),
                          start_token: int = 1, end_token: int = 2,
-                         state=None, caches=None, max_steps=None):
+                         state=None, caches=None, max_steps=None,
+                         fused_select: bool = False,
+                         interpret: bool = False):
         """Bounded-slice AR sampling for very long documents (the pg19
         preset's 102,400 tokens): decodes at most `max_steps` tokens and
         returns (state, caches) to pass back in. Given the same z and the
@@ -169,7 +174,9 @@ class TransformerVAE(TransformerLanguageModel):
             return logits.astype(jnp.float32), caches
 
         state, caches = decode_loop(state, logits_fn, caches, sampling,
-                                    end_token, max_steps=max_steps)
+                                    end_token, max_steps=max_steps,
+                                    fused_select=fused_select,
+                                    interpret=interpret)
         return state, caches, z
 
     def window_hidden_z(self, win_tokens, caches, start, z):

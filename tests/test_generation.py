@@ -218,3 +218,54 @@ class TestResumableSampling:
                 state=state, caches=caches, max_steps=8)
         np.testing.assert_array_equal(np.asarray(final_output(state)),
                                       np.asarray(one_shot))
+
+
+class TestFusedSelect:
+    """process_logits(fused=True): the VMEM-resident nucleus selection
+    kernel in the AR decode step (the mass-sampling bandwidth lever)."""
+
+    def test_fused_step_matches_manual_gumbel_max(self, rng):
+        """The fused path must equal penalty -> temperature -> top-p filter
+        -> +gumbel(sample_rng) -> argmax computed with plain jnp (logits
+        well-separated so the bisection epsilon cannot flip the set)."""
+        from sparse_vae_tpu.models.generation import top_p_filter
+        B, V = 4, 256
+        params = SamplingParams(temperature=0.8, top_p=0.9,
+                                repetition_penalty=1.2)
+        st = init_decode_state(B, 8, 1, rng)
+        logits = jax.random.normal(jax.random.PRNGKey(3), (B, V)) * 4.0
+
+        fused = process_logits(logits, st, params, END, fused=True,
+                               interpret=True)
+
+        expect = apply_repetition_penalty(
+            logits, st.tokens, st.index, params.repetition_penalty,
+            params.repetition_window)
+        sample_rng = jax.random.split(st.rng)[1]
+        noise = jax.random.gumbel(sample_rng, (B, V), jnp.float32)
+        filt = top_p_filter(expect / params.temperature, params.top_p)
+        want = jnp.argmax(jnp.where(jnp.isfinite(filt), filt + noise, filt),
+                          axis=-1)
+        np.testing.assert_array_equal(np.asarray(fused.tokens[:, 1]),
+                                      np.asarray(want))
+
+    def test_fused_sample_loop_runs_on_tiny_model(self):
+        """Model-level: sample(fused_select=True) terminates and produces
+        tokens with the same live/end semantics as the plain path."""
+        from sparse_vae_tpu.models.transformer_lm import (
+            TransformerHparams, TransformerLanguageModel)
+        hp = TransformerHparams(d_model=32, num_heads=4, num_layers=2,
+                                vocab_size=128, use_pallas_kernel=False)
+        model = TransformerLanguageModel(hp)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.ones((1, 16), jnp.int32))["params"]
+        out = model.apply({"params": params}, jax.random.PRNGKey(1), 24, 2,
+                          SamplingParams(), fused_select=True,
+                          interpret=True, method=model.sample)
+        out = np.asarray(out)
+        assert out.shape == (2, 23)
+        assert ((out >= 0) & (out < 128)).all()
+        for row in out:
+            ends = np.flatnonzero(row == END)
+            if len(ends):                 # everything after [SEP] is PAD
+                assert (row[ends[0] + 1:] == 0).all()
