@@ -129,12 +129,13 @@ def _pad_tokens(g, labels, tt: int):
     return g, labels, n
 
 
-def _label_logit(g, table, bias, labels):
-    """Rowwise logits[i, labels[i]] as a [N, D] row gather + dot — the
-    embedding-lookup pattern XLA lowers natively on TPU, far cheaper than
-    an in-kernel one-hot masked sum over every [Tt, Vt] tile."""
-    rows = table[labels].astype(jnp.float32)              # [N, D]
-    return (jnp.sum(g.astype(jnp.float32) * rows, axis=-1)
+def _label_logit(g, rows, bias, labels):
+    """Rowwise logits[i, labels[i]] from pre-gathered label rows
+    (rows = table[labels], the embedding-lookup pattern XLA lowers
+    natively on TPU — far cheaper than an in-kernel one-hot masked sum
+    over every [Tt, Vt] tile)."""
+    return (jnp.sum(g.astype(jnp.float32) * rows.astype(jnp.float32),
+                    axis=-1)
             + bias.astype(jnp.float32)[labels])
 
 
@@ -163,12 +164,17 @@ def _fwd(g, table, bias, labels, tt: int, vt: int, interpret: bool):
         interpret=interpret,
     )(g, table, bias.reshape(1, -1).astype(jnp.float32))
     lse = lse.reshape(-1)
-    nll = lse[:n] - _label_logit(g[:n], table, bias, labels[:n])
-    return nll, lse, g, labels
+    # Gather the label rows ONCE: the nll here and the backward's -onehot
+    # dg correction both need table[labels] — carrying the [npad, D] rows
+    # (table dtype) through the residuals saves the backward a second
+    # ~200 MB scattered-row gather.
+    rows = table[labels]                                  # [npad, D]
+    nll = lse[:n] - _label_logit(g[:n], rows[:n], bias, labels[:n])
+    return nll, lse, g, labels, rows
 
 
 @functools.partial(jax.jit, static_argnames=("tt", "vt", "interpret"))
-def _bwd(g_padded, table, bias, labels_padded, lse, dnll,
+def _bwd(g_padded, table, bias, labels_padded, lse, dnll, label_rows,
          tt: int, vt: int, interpret: bool):
     npad, d = g_padded.shape
     V = table.shape[0]
@@ -204,10 +210,11 @@ def _bwd(g_padded, table, bias, labels_padded, lse, dnll,
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(g_padded, table, bias2, lse2, dnll2)
-    # The -onehot(label) part of dlogits, applied as a row gather of E:
+    # The -onehot(label) part of dlogits, using the label rows E[label]
+    # already gathered by the forward (carried in the residuals):
     # dg_full = ((p - onehot) * dnll) @ E = kernel - dnll * E[label].
     dg = (dg - dnll2.reshape(-1, 1)
-          * table[labels_padded].astype(jnp.float32)).astype(g_padded.dtype)
+          * label_rows.astype(jnp.float32)).astype(g_padded.dtype)
 
     swapped = [
         pl.BlockSpec((tt, d), lambda v, t: (t, 0)),
@@ -248,19 +255,19 @@ def fused_tied_cross_entropy(g, table, bias, labels, tt: int = 1024,
     V=32768, D=512; bench.py --mode cetune, round 3): tt=1024/vt=1024
     measured 11.6% faster fwd+bwd than the previous 512/1024.
     """
-    nll, _, _, _ = _fwd(g, table, bias, labels, tt, vt, interpret)
+    nll, _, _, _, _ = _fwd(g, table, bias, labels, tt, vt, interpret)
     return nll
 
 
 def _fwd_rule(g, table, bias, labels, tt, vt, interpret):
-    nll, lse, g_padded, labels_padded = _fwd(g, table, bias, labels, tt, vt,
-                                             interpret)
-    return nll, (g_padded, table, bias, labels_padded, lse)
+    nll, lse, g_padded, labels_padded, rows = _fwd(g, table, bias, labels,
+                                                   tt, vt, interpret)
+    return nll, (g_padded, table, bias, labels_padded, lse, rows)
 
 
 def _bwd_rule(tt, vt, interpret, residuals, dnll):
-    g_padded, table, bias, labels_padded, lse = residuals
-    dg, de, db = _bwd(g_padded, table, bias, labels_padded, lse, dnll,
+    g_padded, table, bias, labels_padded, lse, rows = residuals
+    dg, de, db = _bwd(g_padded, table, bias, labels_padded, lse, dnll, rows,
                       tt, vt, interpret)
     return dg[:dnll.shape[0]], de, db, None
 
