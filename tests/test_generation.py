@@ -269,3 +269,29 @@ class TestFusedSelect:
             ends = np.flatnonzero(row == END)
             if len(ends):                 # everything after [SEP] is PAD
                 assert (row[ends[0] + 1:] == 0).all()
+
+    def test_fused_resumable_equals_fused_one_shot(self):
+        """Slicing must be transparent to the fused selection path too:
+        the per-step rng chain is part of DecodeState, so fused one-shot
+        and fused resumable sample identical tokens."""
+        from sparse_vae_tpu.models.generation import final_output
+        from sparse_vae_tpu.models.transformer_lm import (
+            TransformerHparams, TransformerLanguageModel)
+        hp = TransformerHparams(d_model=32, num_heads=4, num_layers=2,
+                                vocab_size=128, use_pallas_kernel=False)
+        model = TransformerLanguageModel(hp)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.ones((1, 16), jnp.int32))["params"]
+        key = jax.random.PRNGKey(5)
+        one_shot = model.apply({"params": params}, key, 32, 2,
+                               SamplingParams(), fused_select=True,
+                               interpret=True, method=model.sample)
+        state = caches = None
+        for _ in range(0, 32, 8):
+            state, caches = model.apply(
+                {"params": params}, key, 32, 2, SamplingParams(),
+                state=state, caches=caches, max_steps=8,
+                fused_select=True, interpret=True,
+                method=model.sample_resumable)
+        np.testing.assert_array_equal(np.asarray(final_output(state)),
+                                      np.asarray(one_shot))
