@@ -25,6 +25,13 @@ class Perceiver(nn.Module):
     dtype: Any = jnp.float32
     tp_size: int = 1          # tensor parallelism, see parallel/tp.py
     tp_axis: str = "model"
+    # Sequence parallelism (parallel/sp.py): the INPUT x is sharded over
+    # 'seq'; the latent set is replicated. The first (learned-query) layer
+    # and the middle layers' cross-attention consume the sharded document
+    # (distributed-softmax combine); latent self-attention and the
+    # bottleneck run replicated on every shard.
+    sp_size: int = 1
+    sp_axis: str = "seq"
 
     def setup(self):
         assert self.num_layers > 1
@@ -33,15 +40,18 @@ class Perceiver(nn.Module):
                       dtype=self.dtype, tp_size=self.tp_size,
                       tp_axis=self.tp_axis)
         self.first_layer = TransformerLayer(
-            learned_queries=self.num_latents, **common)
+            learned_queries=self.num_latents, sp_size=self.sp_size,
+            sp_axis=self.sp_axis, **common)
         middle = self.num_layers - 1
         if self.bottleneck_width:
+            # Learned queries over the REPLICATED latents — no sp.
             self.bottleneck = TransformerLayer(
                 learned_queries=self.bottleneck_width, **common)
             middle -= 1
         self.middle_layers = [
             TransformerLayer(use_cross_attention=True, name=f"middle_{i}",
-                             **common)
+                             sp_size=self.sp_size, sp_axis=self.sp_axis,
+                             sp_cross_only=True, **common)
             for i in range(max(middle, 0))
         ]
 

@@ -34,6 +34,13 @@ class TransformerLayer(nn.Module):
     # shards its heads. tp_size=1 is the old behavior exactly.
     tp_size: int = 1
     tp_axis: str = "model"
+    # Sequence parallelism (parallel/sp.py). sp_cross_only: the layer's
+    # SELF-attention runs on replicated activations (the Perceiver's latent
+    # set) while only its cross-attention consumes the 'seq'-sharded
+    # document — so sp applies to the cross path alone.
+    sp_size: int = 1
+    sp_axis: str = "seq"
+    sp_cross_only: bool = False
 
     def setup(self):
         self.attention = Attention(
@@ -42,7 +49,9 @@ class TransformerLayer(nn.Module):
             window_size=self.window_size, block_size=self.block_size,
             learned_queries=self.learned_queries,
             use_pallas_kernel=self.use_pallas_kernel, dtype=self.dtype,
-            tp_size=self.tp_size, tp_axis=self.tp_axis)
+            tp_size=self.tp_size, tp_axis=self.tp_axis,
+            sp_size=1 if self.sp_cross_only else self.sp_size,
+            sp_axis=self.sp_axis)
         init = dense_kernel_init(0.02)
         self.ffn_in = nn.Dense(self.d_model * 4 // self.tp_size,
                                kernel_init=init, dtype=self.dtype)
@@ -55,7 +64,8 @@ class TransformerLayer(nn.Module):
             self.cross_attention = Attention(
                 d_model=self.d_model, num_heads=self.num_heads,
                 dtype=self.dtype,
-                tp_size=self.tp_size, tp_axis=self.tp_axis)
+                tp_size=self.tp_size, tp_axis=self.tp_axis,
+                sp_size=self.sp_size, sp_axis=self.sp_axis)
             self.cross_attn_layer_norm = nn.LayerNorm(dtype=self.dtype)
             self.context_layer_norm = nn.LayerNorm(dtype=self.dtype)
 

@@ -54,6 +54,13 @@ class TransformerHparams(LanguageModelHparams):
     # attention heads + FFN inner dim sharded over 'model'. The global
     # module (init / eval outside shard_map / sampling) keeps tp_size=1.
     tp_size: int = 1
+    # Sequence parallelism: set (via parallel.sp.sp_localize) only on the
+    # per-shard twin running inside shard_map on a mesh with a 'seq' axis —
+    # the LENGTH axis of every batch is sharded; sparse decoder layers
+    # exchange a window-band halo + [CLS] broadcast, the Perceiver combines
+    # softmax partials, labels shift across shard boundaries. The scaling
+    # axis for the pg19 long-document regime (batch 1 x 102,400 tokens).
+    sp_size: int = 1
 
 
 class TransformerLanguageModel(nn.Module):
@@ -121,7 +128,7 @@ class TransformerLanguageModel(nn.Module):
                       use_cross_attention=hp.cross_attention,
                       use_pallas_kernel=hp.use_pallas_kernel,
                       dtype=self.dtype, tp_size=hp.tp_size,
-                      name=f"layer_{i}")
+                      sp_size=hp.sp_size, name=f"layer_{i}")
             for i in range(hp.num_layers)
         ]
 
@@ -264,6 +271,16 @@ class TransformerLanguageModel(nn.Module):
         labels avoids the h[:, :-1] slice, which XLA materializes as a copy
         of the whole [B, L, D] tensor at the remat boundary."""
         return jnp.pad(token_ids[:, 1:], ((0, 0), (0, 1)))
+
+    def labels_for(self, token_ids):
+        """Next-token labels for this module's parallel layout: under
+        sequence parallelism each shard's last label is the RIGHT
+        neighbor's first token (one ppermute of a single column); otherwise
+        the static end-padded shift."""
+        if getattr(self.hparams, "sp_size", 1) > 1:
+            from ..parallel.sp import sp_shifted_labels
+            return sp_shifted_labels(token_ids, self.hparams.sp_size)
+        return self.shifted_labels(token_ids)
 
     def sequence_ll_rows(self, hidden, labels):
         """Per-row summed log p(labels | hidden) over non-pad labels, logits

@@ -47,7 +47,7 @@ class TransformerVAE(TransformerLanguageModel):
             num_latents=hp.num_encoder_latents,
             d_model=hp.d_model, bottleneck_width=1,
             init_scale=hp.init_scale, dtype=self.dtype,
-            tp_size=hp.tp_size)
+            tp_size=hp.tp_size, sp_size=hp.sp_size)
         self.q_of_z_given_x = ConditionalGaussian(
             hp.latent_depth, init_scale=hp.init_scale)
         self.z_projections = [
@@ -71,12 +71,22 @@ class TransformerVAE(TransformerLanguageModel):
     # -- decoder ------------------------------------------------------------
     def reconstruct_hidden(self, token_ids, z, deterministic: bool = True):
         """Decoder stack with z injected by replacing position 0 at every
-        layer (:85-93). z: [B, 1, latent_depth]. Returns pre-head hidden."""
+        layer (:85-93). z: [B, 1, latent_depth]. Returns pre-head hidden.
+
+        Under sequence parallelism absolute position 0 lives on 'seq'
+        shard 0 only; the other shards still see z through the attention
+        collectives (the [CLS] block broadcast carries the z-replaced
+        position's K/V — and its gradient — to every shard)."""
+        sp = getattr(self.hparams, "sp_size", 1) > 1
+        on_first = (jax.lax.axis_index("seq") == 0) if sp else True
         x = self.embed(token_ids, deterministic)
         mask = token_ids != 0
         for i, layer in enumerate(self.decoder_layers):
-            z_hidden = self.z_projections[i](z.astype(self.dtype))
-            x = jnp.concatenate([z_hidden, x[..., 1:, :]], axis=-2)
+            z_hidden = jnp.broadcast_to(
+                self.z_projections[i](z.astype(self.dtype)),
+                (x.shape[0], 1, x.shape[-1]))
+            injected = jnp.concatenate([z_hidden, x[..., 1:, :]], axis=-2)
+            x = injected if not sp else jnp.where(on_first, injected, x)
             x = layer(x, None, mask, None, deterministic)
         return x
 
@@ -89,7 +99,7 @@ class TransformerVAE(TransformerLanguageModel):
         logits never fully materialized — the long-document path for the
         IWAE / DReG estimators (test.py runs the pg19 preset through this)."""
         h = self.reconstruct_hidden(token_ids, z, deterministic)
-        return self.sequence_ll_rows(h, self.shifted_labels(token_ids))
+        return self.sequence_ll_rows(h, self.labels_for(token_ids))
 
     # -- training forward (VAEObjective contract) ---------------------------
     def __call__(self, token_ids, deterministic: bool = True):
@@ -106,7 +116,7 @@ class TransformerVAE(TransformerLanguageModel):
                                deterministic=deterministic)
         z = q.sample(self.make_rng("sample"))
         h = self.reconstruct_hidden(token_ids, z, deterministic)
-        nll_sum, count = self.sequence_nll(h, self.shifted_labels(token_ids))
+        nll_sum, count = self.sequence_nll(h, self.labels_for(token_ids))
         return nll_sum, count, kl, q, z
 
     # -- sampling -----------------------------------------------------------

@@ -83,6 +83,15 @@ class VAEObjective:
     only as stop_gradient diagnostics, like marginal_kl_rows).
     """
 
+    # Per-ROW statistics (see ARObjective.ROW_SUMS): replicated across a
+    # 'seq'-sharded length axis, contributed once (sequence shard 0) by the
+    # sharded train step before its global psum. nll_sum / token_count stay
+    # shard-local.
+    ROW_SUMS = ("kl_sum", "raw_kl_sum", "marginal_kl_rows",
+                "neg_bound_sum", "bound_sum")
+    ROW_COUNTS = ("row_count",)
+    ROW_EVAL = ("byte_count", "kl_weighted_rows", "row_count")
+
     def __init__(self, hparams: ContinuousVAEHparams,
                  mutual_info_samples: int = 10):
         self.hp = hparams

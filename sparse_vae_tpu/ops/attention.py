@@ -125,6 +125,14 @@ class Attention(nn.Module):
     # exactly the old behavior.
     tp_size: int = 1
     tp_axis: str = "model"
+    # Sequence parallelism (parallel/sp.py): sp_size > 1 means the LENGTH
+    # axis of the inputs is sharded over the 'seq' mesh axis. Sparse causal
+    # self-attention exchanges a fixed-size K/V halo with the left neighbor
+    # plus the psum-broadcast [CLS] block; learned-query / cross attention
+    # combines local softmax partials over the axis. sp_size=1 (the default,
+    # and the global/init module) is exactly the old behavior.
+    sp_size: int = 1
+    sp_axis: str = "seq"
 
     @property
     def local_heads(self) -> int:
@@ -154,7 +162,7 @@ class Attention(nn.Module):
             return float(2 * self.window_size * self.block_size)
         return float(self.max_length)
 
-    def _project(self, x_q, x_kv, pos_offset=0):
+    def _project(self, x_q, x_kv, pos_offset=0, k_pos_offset=0):
         if self.learned_queries:
             q = jnp.broadcast_to(
                 self.learned_query_bank.astype(self.dtype),
@@ -167,7 +175,7 @@ class Attention(nn.Module):
             q = merge_heads(q)
         k = self.k_linear(x_kv)
         k = merge_heads(apply_rotary(split_heads(k, self.local_heads),
-                                     self.rotary_base))
+                                     self.rotary_base, offset=k_pos_offset))
         v = self.v_linear(x_kv)
         return q, k, v
 
@@ -185,10 +193,85 @@ class Attention(nn.Module):
             y = reduce_activations(y - bias, self.tp_axis) + bias
         return y
 
+    def _sp_call(self, x_q, x_kv, kv_mask):
+        """Sequence-parallel attention (parallel/sp.py): x_kv holds this
+        shard's slice of the length axis at absolute positions
+        idx*S..idx*S+S-1 (idx = this device's 'seq' coordinate).
+
+        - learned-query / non-causal cross attention: replicated queries
+          over the sharded keys, distributed-softmax combine;
+        - sparse causal self-attention: one ppermute halo (the left
+          neighbor's trailing window band) + one psum [CLS]-block broadcast,
+          then the blocked windowed compute — per-shard cost O(S * window),
+          boundary traffic independent of the document length.
+        """
+        from jax.ad_checkpoint import checkpoint_name
+
+        from ..parallel.sp import (halo_from_left, seq_parallel_cross_attention,
+                                   sum_over_shards, windowed_attention_ctx)
+        if self.tp_size > 1:
+            from ..parallel.tp import replicate_gradient
+            same = x_q is x_kv
+            x_kv = replicate_gradient(x_kv, self.tp_axis)
+            x_q = x_kv if same else replicate_gradient(x_q, self.tp_axis)
+        idx = jax.lax.axis_index(self.sp_axis)
+        S = x_kv.shape[1]
+        start = idx * S
+
+        if self.learned_queries or not self.causal:
+            q, k, v = self._project(x_q, x_kv, k_pos_offset=start)
+            q, k, v = (split_heads(t, self.local_heads) for t in (q, k, v))
+            out = seq_parallel_cross_attention(q, k, v, kv_mask, self.sp_axis)
+            return self._finalize(out)
+
+        if not self.sparse:
+            raise ValueError(
+                "sequence parallelism shards the sparse sliding-window "
+                "decoder and cross/learned-query attention; dense causal "
+                "self-attention has no bounded halo — use "
+                "sparse_self_attention=true")
+        bs, ws = self.block_size, self.window_size
+        ctx = ws * bs
+        if S % bs != 0:
+            raise ValueError(f"shard length {S} not a multiple of the "
+                             f"attention block size {bs}")
+        if S < ctx:
+            raise ValueError(
+                f"shard length {S} must cover the window band "
+                f"({ws} x {bs} = {ctx} tokens) so one left-neighbor halo "
+                "suffices — use fewer 'seq' shards or a smaller window")
+        q, k, v = self._project(x_q, x_kv, pos_offset=start,
+                                k_pos_offset=start)
+        q, k, v = (split_heads(t, self.local_heads) for t in (q, k, v))
+        halo_k = halo_from_left(k[:, :, -ctx:], self.sp_size, self.sp_axis)
+        halo_v = halo_from_left(v[:, :, -ctx:], self.sp_size, self.sp_axis)
+        zeros = jnp.zeros_like(k[:, :, :bs])
+        cls_k = sum_over_shards(
+            jnp.where(idx == 0, k[:, :, :bs], zeros), self.sp_axis)
+        cls_v = sum_over_shards(
+            jnp.where(idx == 0, v[:, :, :bs], zeros), self.sp_axis)
+        k_ext = jnp.concatenate([halo_k, k], axis=2)
+        v_ext = jnp.concatenate([halo_v, v], axis=2)
+        kv_mask_ext = cls_mask = None
+        if kv_mask is not None:
+            m = kv_mask.astype(jnp.int32)
+            halo_m = jax.lax.ppermute(
+                m[:, -ctx:], self.sp_axis,
+                [(i, i + 1) for i in range(self.sp_size - 1)])
+            kv_mask_ext = jnp.concatenate([halo_m, m], axis=1) > 0
+            cls_mask = jax.lax.psum(
+                jnp.where(idx == 0, m[:, :bs], 0), self.sp_axis) > 0
+        out = windowed_attention_ctx(
+            q, k_ext, v_ext, cls_k, cls_v, start, kv_mask_ext, cls_mask,
+            window_size=ws, block_size=bs)
+        return self._finalize(checkpoint_name(out, "attn_out"))
+
     def __call__(self, x_q, x_kv, kv_mask=None):
         """Full-sequence attention. x_q: [B, Lq, D] (ignored when
         learned_queries), x_kv: [B, Lk, D], kv_mask: [B, Lk] bool
         (True = valid key position)."""
+        if self.sp_size > 1:
+            return self._sp_call(x_q, x_kv, kv_mask)
         if self.tp_size > 1:
             # Column-parallel entry: activations are replicated over
             # 'model' but each shard's q/k/v slices produce only a partial

@@ -44,17 +44,26 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
 
 def create_mesh(num_devices: Optional[int] = None,
                 model_axis: int = 1,
-                devices: Optional[Sequence] = None) -> Mesh:
-    """(data, model) mesh over the available devices.
+                devices: Optional[Sequence] = None,
+                seq_axis: int = 1) -> Mesh:
+    """(data[, seq], model) mesh over the available devices.
 
     model_axis=1 => pure data parallelism (the default; the reference models
     are small enough that DP is the right first axis, SURVEY §2.10).
+    seq_axis>1 adds a 'seq' axis for sequence parallelism (parallel/sp.py)
+    — the scaling axis for the pg19 batch-1 long-document regime. Adjacent
+    'seq' coordinates land on adjacent devices so the halo ppermute rides
+    nearest-neighbor ICI links.
     """
     devices = list(devices) if devices is not None else jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
     n = len(devices)
-    assert n % model_axis == 0, (n, model_axis)
+    assert n % (model_axis * seq_axis) == 0, (n, model_axis, seq_axis)
+    if seq_axis > 1:
+        grid = np.asarray(devices).reshape(
+            n // (model_axis * seq_axis), seq_axis, model_axis)
+        return Mesh(grid, axis_names=("data", "seq", "model"))
     grid = np.asarray(devices).reshape(n // model_axis, model_axis)
     return Mesh(grid, axis_names=("data", "model"))
 

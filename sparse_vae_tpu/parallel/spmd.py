@@ -37,6 +37,22 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SEQ_AXIS = "seq"
+
+
+def seq_size(mesh: Optional[Mesh]) -> int:
+    return mesh.shape.get(SEQ_AXIS, 1) if mesh is not None else 1
+
+
+def batch_specs(mesh: Mesh, stacked: bool = False) -> dict:
+    """PartitionSpecs for a batch dict: rows sharded over 'data'; when the
+    mesh has a 'seq' axis, token_ids' LENGTH axis is additionally sharded
+    over it (sequence parallelism, parallel/sp.py) while the per-row
+    num_tokens/num_bytes stay replicated across 'seq'."""
+    lead = (None,) if stacked else ()
+    row = P(*lead, DATA_AXIS)
+    tok = P(*lead, DATA_AXIS, SEQ_AXIS) if seq_size(mesh) > 1 else row
+    return {"token_ids": tok, "num_tokens": row, "num_bytes": row}
 
 
 def stacked_batch_spec(mesh: Mesh) -> NamedSharding:
@@ -51,9 +67,61 @@ def batch_spec(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh, stacked: bool = False) -> dict:
-    """Place a host batch dict on the mesh with rows sharded on 'data'."""
-    sharding = stacked_batch_spec(mesh) if stacked else batch_spec(mesh)
-    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    """Place a host batch dict on the mesh (rows on 'data', token length on
+    'seq' when the mesh has one)."""
+    specs = batch_specs(mesh, stacked)
+    return {k: jax.device_put(v, NamedSharding(mesh, specs[k]))
+            for k, v in batch.items()}
+
+
+class _SeqOnceObjective:
+    """Objective adapter for a 'seq'-sharded length axis: per-ROW statistics
+    (declared by the objective's ROW_SUMS / ROW_COUNTS / ROW_EVAL) are
+    replicated across sequence shards, so they are zeroed on every shard but
+    sequence shard 0 BEFORE the global psum — each document's KL, row count,
+    and byte count enter the composition exactly once. Token-level sums are
+    genuinely local to each length shard and pass through.
+
+    Gradient note: zeroing shard>0's kl_sum routes the entire KL cotangent
+    through shard 0's encoder trace; the attention collectives
+    (parallel/sp.py) carry the pieces belonging to other shards' activations
+    back to them, and the train step's gradient psum over 'seq' reassembles
+    the exact global gradient (tested to float tolerance in test_sp.py)."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        hp = getattr(inner, "hp", None)
+        if getattr(hp, "train_mc_samples", 1) > 1:
+            raise ValueError(
+                "sequence parallelism supports the single-sample ELBO only: "
+                "the multi-sample IWAE/DReG bound is nonlinear in the "
+                "per-shard partial log-likelihoods (logsumexp over samples "
+                "of a sum over shards)")
+        if not getattr(hp, "loss_chunk_size", 0):
+            raise ValueError(
+                "sequence parallelism requires the chunked loss path "
+                "(loss_chunk_size > 0): the full-logits branch shifts "
+                "labels locally and would mislabel shard boundaries")
+
+    def __getattr__(self, name):
+        return getattr(self.inner, name)
+
+    @staticmethod
+    def _once(stats: dict, keys) -> dict:
+        idx = jax.lax.axis_index(SEQ_AXIS)
+        return {k: (jnp.where(idx == 0, v, jnp.zeros_like(v))
+                    if k in keys else v)
+                for k, v in stats.items()}
+
+    def loss_sums(self, *args, **kwargs):
+        sums, counts = self.inner.loss_sums(*args, **kwargs)
+        return (self._once(sums, set(getattr(self.inner, "ROW_SUMS", ()))),
+                self._once(counts,
+                           set(getattr(self.inner, "ROW_COUNTS", ()))))
+
+    def eval_stats(self, *args, **kwargs):
+        stats = self.inner.eval_stats(*args, **kwargs)
+        return self._once(stats, set(getattr(self.inner, "ROW_EVAL", ())))
 
 
 def stack_microbatches(batches: list) -> dict:
@@ -134,6 +202,17 @@ def make_train_step(module, objective, optimizer,
         tp_sv = shards_vocab(module.hparams, tp_size)
     else:
         tp_sv = False
+    sp = seq_size(mesh)
+    if sp > 1:
+        if getattr(module.hparams, "sp_size", 1) != sp:
+            raise ValueError(
+                f"mesh has seq={sp} but the module's sp_size is "
+                f"{getattr(module.hparams, 'sp_size', 1)} — pass the "
+                "sp_localize'd twin (parallel/sp.py)")
+        objective = _SeqOnceObjective(objective)
+    # The loss-sum / gradient reduction axes: 'data' always; 'seq' too when
+    # the length axis is sharded (each shard's sums/grads cover its tokens).
+    red_axes = (DATA_AXIS, SEQ_AXIS) if sp > 1 else (DATA_AXIS,)
 
     def micro_grads(params, mb, step, rng):
         if mesh is None:
@@ -157,8 +236,8 @@ def make_train_step(module, objective, optimizer,
             return objective.loss_sums(module, p, mb, step, rng)
 
         (sums, counts), vjp = jax.vjp(local_sums, params)
-        g_sums = jax.lax.psum(sums, DATA_AXIS)
-        g_counts = jax.lax.psum(counts, DATA_AXIS)
+        g_sums = jax.lax.psum(sums, red_axes)
+        g_counts = jax.lax.psum(counts, red_axes)
         loss, metrics = objective.compose_loss(g_sums, g_counts, step)
         ct_sums = jax.grad(
             lambda s: objective.compose_loss(s, g_counts, step)[0])(g_sums)
@@ -186,8 +265,9 @@ def make_train_step(module, objective, optimizer,
                                    metrics_stack)
         if mesh is not None:
             # One collective per optimizer step: the grads of the psum'd
-            # losses are partial (each device holds its shard's terms).
-            grads = jax.lax.psum(grads, DATA_AXIS)
+            # losses are partial (each device holds its shard's terms —
+            # batch rows over 'data', token positions over 'seq').
+            grads = jax.lax.psum(grads, red_axes)
         grads = jax.tree.map(lambda g: g / k, grads)
         if tp_size > 1:
             from .tp import tp_global_norm, tp_sharded_mask
@@ -203,10 +283,11 @@ def make_train_step(module, objective, optimizer,
         return jax.jit(core, donate_argnums=(0, 1))
 
     rep = P()
+    b_specs = batch_specs(mesh, stacked=True)
     if tp_size == 1:
         mapped = jax.shard_map(
             core, mesh=mesh,
-            in_specs=(rep, rep, P(None, DATA_AXIS), rep, rep),
+            in_specs=(rep, rep, b_specs, rep, rep),
             out_specs=(rep, rep, rep),
             check_vma=False,
         )
@@ -223,7 +304,7 @@ def make_train_step(module, objective, optimizer,
             o_specs = tp_param_specs(opt_state, tp_size, tp_sv)
             mapped = jax.shard_map(
                 core, mesh=mesh,
-                in_specs=(p_specs, o_specs, P(None, DATA_AXIS), rep, rep),
+                in_specs=(p_specs, o_specs, b_specs, rep, rep),
                 out_specs=(p_specs, o_specs, rep),
                 check_vma=False,
             )
@@ -244,21 +325,31 @@ def make_eval_step(module, objective, mesh: Optional[Mesh] = None):
         tp_sv = shards_vocab(module.hparams, tp_size)
     else:
         tp_sv = False
+    sp = seq_size(mesh)
+    if sp > 1:
+        if getattr(module.hparams, "sp_size", 1) != sp:
+            raise ValueError(
+                f"mesh has seq={sp} but the module's sp_size is "
+                f"{getattr(module.hparams, 'sp_size', 1)} — pass the "
+                "sp_localize'd twin (parallel/sp.py)")
+        objective = _SeqOnceObjective(objective)
+    red_axes = (DATA_AXIS, SEQ_AXIS) if sp > 1 else (DATA_AXIS,)
 
     def core(params, batch, rng):
         stats = objective.eval_stats(module, params, batch, rng)
         if mesh is not None:
-            stats = jax.lax.psum(stats, DATA_AXIS)
+            stats = jax.lax.psum(stats, red_axes)
         return stats
 
     if mesh is None:
         return jax.jit(core)
 
     rep = P()
+    b_specs = batch_specs(mesh, stacked=False)
     if tp_size == 1:
         mapped = jax.shard_map(
             core, mesh=mesh,
-            in_specs=(rep, P(DATA_AXIS), rep),
+            in_specs=(rep, b_specs, rep),
             out_specs=rep,
             check_vma=False,
         )
@@ -272,7 +363,7 @@ def make_eval_step(module, objective, mesh: Optional[Mesh] = None):
             p_specs = tp_param_specs(params, tp_size, tp_sv)
             mapped = jax.shard_map(
                 core, mesh=mesh,
-                in_specs=(p_specs, P(DATA_AXIS), rep),
+                in_specs=(p_specs, b_specs, rep),
                 out_specs=rep,
                 check_vma=False,
             )

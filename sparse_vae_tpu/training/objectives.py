@@ -43,6 +43,15 @@ class ARObjective:
     tests/test_parallel.py).
     """
 
+    # Statistics that are per-ROW (replicated when the LENGTH axis is
+    # sharded over a 'seq' mesh axis) rather than per-token: the sharded
+    # train step contributes them once, from sequence shard 0, before the
+    # global psum (parallel/spmd.py). Token-level sums (nll_sum,
+    # token_count) are genuinely local to each length shard.
+    ROW_SUMS: tuple = ()
+    ROW_COUNTS: tuple = ()
+    ROW_EVAL: tuple = ("byte_count",)
+
     def __init__(self, hparams=None):
         self.hp = hparams
 
@@ -56,8 +65,11 @@ class ARObjective:
                               rngs=rngs, deterministic=rng is None,
                               method=type(module).forward_hidden)
         # Full-length hidden + end-padded shifted labels: avoids slicing
-        # (= copying) the whole [B, L, D] tensor (see shifted_labels).
-        labels = type(module).shifted_labels(batch["token_ids"])
+        # (= copying) the whole [B, L, D] tensor (see shifted_labels). Under
+        # sequence parallelism labels_for shifts across shard boundaries.
+        labels = module.labels_for(batch["token_ids"]) \
+            if hasattr(module, "labels_for") \
+            else type(module).shifted_labels(batch["token_ids"])
         return module.apply({"params": params}, hidden, labels,
                             method=type(module).sequence_nll)
 

@@ -100,11 +100,15 @@ class Trainer:
             tp_size=self._tp_size, tp_shard_vocab=self._tp_shard_vocab)
 
         from ..parallel.spmd import make_eval_step, make_train_step
-        # On a 2-D mesh the train/eval steps run the TP-localized twin
-        # module (attention heads + FFN inner dim sharded over 'model');
+        # On a multi-axis mesh the train/eval steps run the localized twin
+        # module (attention heads + FFN inner dim sharded over 'model'; the
+        # batch LENGTH axis sharded over 'seq' — parallel/sp.py);
         # self.module stays global for init / sampling callbacks.
+        from ..parallel.sp import sp_localize
         from ..parallel.tp import tp_localize
-        step_module = tp_localize(module, self._tp_size)
+        self._sp_size = mesh.shape.get("seq", 1) if mesh is not None else 1
+        step_module = sp_localize(tp_localize(module, self._tp_size),
+                                  self._sp_size)
         self._train_step = make_train_step(step_module, objective,
                                            self.optimizer, mesh=mesh)
         self._eval_step = make_eval_step(step_module, objective, mesh=mesh)

@@ -132,5 +132,12 @@ class TrainerHparams:
     checkpoint_every_n_steps: int = 1000
     early_stopping_patience: int = 3
     num_devices: Optional[int] = None  # None => all available
+    # Mesh factorization: num_devices = data x seq_parallel x model_parallel.
+    # seq_parallel>1 shards the batch LENGTH axis (parallel/sp.py — the
+    # scaling axis for the pg19 batch-1 long-document regime);
+    # model_parallel>1 shards attention heads / FFN inner dim / tied vocab
+    # (parallel/tp.py).
+    seq_parallel: int = 1
+    model_parallel: int = 1
     seed: int = 7295                   # ref train.py:15
     profile_steps: int = 0             # >0: jax.profiler trace of steps 3..3+N

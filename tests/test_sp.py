@@ -1,0 +1,387 @@
+"""Sequence (context) parallelism: exactness against single-device execution.
+
+parallel/sp.py shards the LENGTH axis over a 'seq' mesh axis — the scaling
+axis for the pg19 batch-1 long-document regime. These tests pin:
+- the blocked halo attention == the full-sequence masked oracle, per shard;
+- the distributed-softmax cross attention == dense attention;
+- boundary-crossing labels == the global shift;
+- a full TransformerVAE optimizer step on a 'seq' mesh == the single-device
+  step (loss, metrics incl. KL, and updated params to float tolerance) —
+  which exercises every collective's custom VJP, the shard-0-only row
+  statistics, and the z-injection gradient path through the [CLS] broadcast;
+- a (data x seq) mesh composes both axes;
+- the guard rails (dense config, LSTM, multi-sample bound, unchunked loss).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparse_vae_tpu.ops.attention import (dense_attention,
+                                          sliding_window_token_mask)
+from sparse_vae_tpu.parallel.mesh import create_mesh
+from sparse_vae_tpu.parallel.sp import (seq_parallel_cross_attention,
+                                        sp_localize, sp_shifted_labels,
+                                        windowed_attention_ctx)
+
+
+def _tree_allclose(a, b, rtol=1e-5, atol=1e-6):
+    flat_a, flat_b = jax.tree.leaves(a), jax.tree.leaves(b)
+    assert len(flat_a) == len(flat_b)
+    for x, y in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=rtol, atol=atol)
+
+
+@pytest.fixture
+def seq_mesh():
+    return create_mesh(num_devices=4, seq_axis=4,
+                       devices=jax.devices()[:4])
+
+
+@pytest.fixture
+def data_seq_mesh():
+    return create_mesh(num_devices=8, seq_axis=4,
+                       devices=jax.devices()[:8])
+
+
+class TestWindowedAttentionCtx:
+    """The per-shard blocked compute, no mesh: manually sliced halo/CLS
+    inputs must reproduce the full-sequence masked oracle's rows."""
+
+    @pytest.mark.parametrize("use_mask", [False, True])
+    def test_matches_full_oracle(self, use_mask):
+        bs, ws, n_shards = 16, 2, 4
+        B, H, D = 2, 2, 8
+        S = 64
+        L = S * n_shards
+        ctx = ws * bs
+        rng = jax.random.PRNGKey(0)
+        kq, kk, kv, km = jax.random.split(rng, 4)
+        q = jax.random.normal(kq, (B, H, L, D))
+        k = jax.random.normal(kk, (B, H, L, D))
+        v = jax.random.normal(kv, (B, H, L, D))
+        kv_mask = None
+        if use_mask:
+            kv_mask = jax.random.bernoulli(km, 0.8, (B, L))
+            kv_mask = kv_mask.at[:, 0].set(True)
+
+        mask = sliding_window_token_mask(L, L, bs, ws, causal=True)[None,
+                                                                    None]
+        if kv_mask is not None:
+            mask = mask & kv_mask[:, None, None, :]
+        oracle = dense_attention(q, k, v, mask)
+
+        pad_k = jnp.concatenate([jnp.zeros((B, H, ctx, D)), k], axis=2)
+        pad_v = jnp.concatenate([jnp.zeros((B, H, ctx, D)), v], axis=2)
+        pad_m = None
+        if kv_mask is not None:
+            pad_m = jnp.concatenate(
+                [jnp.zeros((B, ctx), bool), kv_mask], axis=1)
+        for i in range(n_shards):
+            start = i * S
+            out = windowed_attention_ctx(
+                q[:, :, start:start + S],
+                pad_k[:, :, start:start + ctx + S],
+                pad_v[:, :, start:start + ctx + S],
+                k[:, :, :bs], v[:, :, :bs], jnp.asarray(start),
+                None if pad_m is None else pad_m[:, start:start + ctx + S],
+                None if kv_mask is None else kv_mask[:, :bs],
+                window_size=ws, block_size=bs)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(oracle[:, :, start:start + S]),
+                rtol=1e-5, atol=1e-5, err_msg=f"shard {i}")
+
+
+class TestSeqCollectives:
+    def test_cross_attention_combine(self, seq_mesh):
+        from jax.sharding import PartitionSpec as P
+
+        B, H, Q, L, D = 2, 2, 6, 64, 8
+        rng = jax.random.PRNGKey(1)
+        kq, kk, kv, km = jax.random.split(rng, 4)
+        q = jax.random.normal(kq, (B, H, Q, D))
+        k = jax.random.normal(kk, (B, H, L, D))
+        v = jax.random.normal(kv, (B, H, L, D))
+        kv_mask = jax.random.bernoulli(km, 0.7, (B, L))
+
+        expected = dense_attention(q, k, v, kv_mask[:, None, None, :])
+
+        mapped = jax.shard_map(
+            lambda q_, k_, v_, m_: seq_parallel_cross_attention(
+                q_, k_, v_, m_, "seq"),
+            mesh=seq_mesh,
+            in_specs=(P(), P(None, None, "seq"), P(None, None, "seq"),
+                      P(None, "seq")),
+            out_specs=P(),
+            check_vma=False)
+        out = mapped(q, k, v, kv_mask)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_shifted_labels_cross_boundary(self, seq_mesh):
+        from jax.sharding import PartitionSpec as P
+
+        from sparse_vae_tpu.models.transformer_lm import \
+            TransformerLanguageModel
+
+        tokens = jax.random.randint(jax.random.PRNGKey(2), (3, 64), 3, 100)
+        expected = TransformerLanguageModel.shifted_labels(tokens)
+        mapped = jax.shard_map(
+            lambda t: sp_shifted_labels(t, 4),
+            mesh=seq_mesh, in_specs=P(None, "seq"), out_specs=P(None, "seq"),
+            check_vma=False)
+        np.testing.assert_array_equal(np.asarray(mapped(tokens)),
+                                      np.asarray(expected))
+
+
+def _vae_setup(sp_size=1, free_bits=0.0):
+    from sparse_vae_tpu.models.transformer_vae import (TransformerVAE,
+                                                       TransformerVAEHparams)
+    from sparse_vae_tpu.models.vae import VAEObjective
+
+    hp = TransformerVAEHparams(
+        d_model=64, num_heads=2, num_layers=2, latent_depth=8,
+        vocab_size=128, num_encoder_latents=4,
+        sparse_self_attention=True, attn_window_size=2, attn_block_size=16,
+        use_pallas_kernel=False, loss_chunk_size=32, free_bits=free_bits,
+        sp_size=sp_size)
+    return TransformerVAE(hp), VAEObjective(hp), hp
+
+
+def _batch(rng, k, b, L, vocab):
+    """Stacked [k, b, L] batch with trailing pad runs inside each row."""
+    lengths = np.array(jax.random.randint(rng, (k, b), L // 2, L))
+    tokens = np.array(jax.random.randint(rng, (k, b, L), 3, vocab))
+    pos = np.arange(L)
+    mask = pos[None, None, :] < lengths[:, :, None]
+    tokens = tokens * mask
+    return {
+        "token_ids": jnp.asarray(tokens, jnp.int32),
+        "num_tokens": jnp.asarray(lengths, jnp.int32),
+        "num_bytes": jnp.asarray(lengths * 4, jnp.int32),
+    }
+
+
+class TestSeqParallelStep:
+    def test_vae_train_step_exact(self, seq_mesh):
+        """One optimizer step on a seq=4 mesh == the single-device step with
+        the same pinned RNG semantics (fold by data index 0, split per
+        microbatch) — loss, KL metric, and every updated parameter."""
+        import optax
+
+        from sparse_vae_tpu.parallel.spmd import make_train_step, shard_batch
+        from sparse_vae_tpu.training.optimizer import make_optimizer
+
+        model, objective, hp = _vae_setup()
+        sp_model = sp_localize(model, 4)
+        optimizer = make_optimizer(lr=1e-2, lr_decay_steps=1000,
+                                   grad_clip_threshold=5.0)
+
+        rng = jax.random.PRNGKey(0)
+        k, b, L = 2, 3, 256
+        batch = _batch(rng, k, b, L, 128)
+        params = model.init({"params": rng, "sample": rng},
+                            batch["token_ids"][0][:1])["params"]
+        opt_state = optimizer.init(params)
+        clone = lambda t: jax.tree.map(jnp.array, t)
+
+        step_fn = make_train_step(sp_model, objective, optimizer,
+                                  mesh=seq_mesh)
+        step_rng = jax.random.PRNGKey(7)
+        p1, o1, m1 = step_fn(clone(params), clone(opt_state),
+                             shard_batch(batch, seq_mesh, stacked=True),
+                             jnp.asarray(0), step_rng)
+
+        # Single-device reference with identical RNG semantics.
+        rng_s = jax.random.fold_in(step_rng, 0)
+        rngs_s = jax.random.split(rng_s, k)
+        grads_acc, losses, kls = None, [], []
+        for i in range(k):
+            mb = {name: arr[i] for name, arr in batch.items()}
+            (loss_i, metrics_i), g = jax.value_and_grad(
+                lambda p: objective.loss(model, p, mb, 0, rngs_s[i]),
+                has_aux=True)(params)
+            losses.append(float(loss_i))
+            kls.append(float(metrics_i["train_kl"]))
+            grads_acc = g if grads_acc is None else jax.tree.map(
+                jnp.add, grads_acc, g)
+        grads = jax.tree.map(lambda x: x / k, grads_acc)
+        updates, _ = optimizer.update(grads, opt_state, params)
+        p0 = optax.apply_updates(params, updates)
+
+        np.testing.assert_allclose(float(m1["loss"]), np.mean(losses),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(m1["train_kl"]), np.mean(kls),
+                                   rtol=1e-4, atol=1e-7)
+        _tree_allclose(p1, p0, rtol=2e-4, atol=2e-6)
+
+    def test_vae_train_step_exact_data_x_seq(self, data_seq_mesh):
+        """data=2 x seq=4: both axes compose; reference folds the RNG per
+        data shard like parallel/spmd.py does."""
+        import optax
+
+        from sparse_vae_tpu.parallel.spmd import make_train_step, shard_batch
+        from sparse_vae_tpu.training.optimizer import make_optimizer
+
+        model, objective, hp = _vae_setup()
+        sp_model = sp_localize(model, 4)
+        optimizer = make_optimizer(lr=1e-2, lr_decay_steps=1000,
+                                   grad_clip_threshold=5.0)
+
+        rng = jax.random.PRNGKey(3)
+        k, b, L = 2, 4, 256   # 2 rows per data shard
+        batch = _batch(rng, k, b, L, 128)
+        params = model.init({"params": rng, "sample": rng},
+                            batch["token_ids"][0][:1])["params"]
+        opt_state = optimizer.init(params)
+        clone = lambda t: jax.tree.map(jnp.array, t)
+
+        step_fn = make_train_step(sp_model, objective, optimizer,
+                                  mesh=data_seq_mesh)
+        step_rng = jax.random.PRNGKey(11)
+        p1, o1, m1 = step_fn(clone(params), clone(opt_state),
+                             shard_batch(batch, data_seq_mesh, stacked=True),
+                             jnp.asarray(0), step_rng)
+
+        rows_per = b // 2
+
+        def micro_loss(p, i):
+            sums = counts = None
+            for s in range(2):
+                rng_s = jax.random.fold_in(step_rng, s)
+                rngs_s = jax.random.split(rng_s, k)
+                mb = {name: arr[i, s * rows_per:(s + 1) * rows_per]
+                      for name, arr in batch.items()}
+                su, co = objective.loss_sums(model, p, mb, 0, rngs_s[i])
+                sums = su if sums is None else jax.tree.map(jnp.add, sums,
+                                                            su)
+                counts = co if counts is None else jax.tree.map(
+                    jnp.add, counts, co)
+            return objective.compose_loss(sums, counts, 0)
+
+        grads_acc, losses = None, []
+        for i in range(k):
+            (loss_i, _), g = jax.value_and_grad(
+                lambda p: micro_loss(p, i), has_aux=True)(params)
+            losses.append(float(loss_i))
+            grads_acc = g if grads_acc is None else jax.tree.map(
+                jnp.add, grads_acc, g)
+        grads = jax.tree.map(lambda x: x / k, grads_acc)
+        updates, _ = optimizer.update(grads, opt_state, params)
+        p0 = optax.apply_updates(params, updates)
+
+        np.testing.assert_allclose(float(m1["loss"]), np.mean(losses),
+                                   rtol=1e-5)
+        _tree_allclose(p1, p0, rtol=2e-4, atol=2e-6)
+
+    def test_free_bits_composes(self, seq_mesh):
+        """The free-bits KL floor (clamped before the sums) stays exact
+        under the seq-sharded composition."""
+        from sparse_vae_tpu.parallel.spmd import make_train_step, shard_batch
+        from sparse_vae_tpu.training.optimizer import make_optimizer
+
+        model, objective, hp = _vae_setup(free_bits=0.25)
+        sp_model = sp_localize(model, 4)
+        optimizer = make_optimizer(lr=1e-2, lr_decay_steps=1000,
+                                   grad_clip_threshold=5.0)
+        rng = jax.random.PRNGKey(5)
+        batch = _batch(rng, 1, 2, 256, 128)
+        params = model.init({"params": rng, "sample": rng},
+                            batch["token_ids"][0][:1])["params"]
+        step_fn = make_train_step(sp_model, objective, optimizer,
+                                  mesh=seq_mesh)
+        step_rng = jax.random.PRNGKey(13)
+        _, _, m1 = step_fn(jax.tree.map(jnp.array, params),
+                           optimizer.init(params),
+                           shard_batch(batch, seq_mesh, stacked=True),
+                           jnp.asarray(0), step_rng)
+
+        rngs_s = jax.random.split(jax.random.fold_in(step_rng, 0), 1)
+        mb = {name: arr[0] for name, arr in batch.items()}
+        loss0, _ = objective.loss(model, params, mb, 0, rngs_s[0])
+        np.testing.assert_allclose(float(m1["loss"]), float(loss0),
+                                   rtol=1e-5)
+
+    def test_eval_step_exact(self, seq_mesh):
+        from sparse_vae_tpu.parallel.spmd import make_eval_step, shard_batch
+
+        model, objective, hp = _vae_setup()
+        sp_model = sp_localize(model, 4)
+        rng = jax.random.PRNGKey(4)
+        batch = {name: arr[0] for name, arr in
+                 _batch(rng, 1, 3, 256, 128).items()}
+        params = model.init({"params": rng, "sample": rng},
+                            batch["token_ids"][:1])["params"]
+
+        sharded = make_eval_step(sp_model, objective, mesh=seq_mesh)
+        single = make_eval_step(model, objective, mesh=None)
+        s1 = sharded(params, shard_batch(batch, seq_mesh), rng)
+        s0 = single(params, batch, rng)
+        assert set(s1) == set(s0)
+        for key in s0:
+            np.testing.assert_allclose(np.asarray(s1[key]),
+                                       np.asarray(s0[key]),
+                                       rtol=1e-5, atol=1e-6,
+                                       err_msg=key)
+
+
+class TestGuards:
+    def test_dense_config_rejected(self):
+        from sparse_vae_tpu.models.transformer_lm import (
+            TransformerHparams, TransformerLanguageModel)
+
+        hp = TransformerHparams(d_model=32, num_heads=2, num_layers=1,
+                                vocab_size=64, sparse_self_attention=False)
+        with pytest.raises(ValueError, match="sparse"):
+            sp_localize(TransformerLanguageModel(hp), 4)
+
+    def test_lstm_rejected(self):
+        from sparse_vae_tpu.models.lstm_lm import (LSTMLanguageModel,
+                                                   LSTMLanguageModelHparams)
+
+        hp = LSTMLanguageModelHparams(d_embedding=8, d_model=16,
+                                      vocab_size=64)
+        with pytest.raises(ValueError, match="sequence parallelism"):
+            sp_localize(LSTMLanguageModel(hp), 4)
+
+    def test_multi_sample_rejected(self, seq_mesh):
+        import dataclasses
+
+        from sparse_vae_tpu.models.vae import VAEObjective
+        from sparse_vae_tpu.parallel.spmd import make_train_step
+        from sparse_vae_tpu.training.optimizer import make_optimizer
+
+        model, _, hp = _vae_setup(sp_size=4)
+        hp_mc = dataclasses.replace(hp, train_mc_samples=4)
+        optimizer = make_optimizer(lr=1e-2, lr_decay_steps=100,
+                                   grad_clip_threshold=5.0)
+        with pytest.raises(ValueError, match="single-sample"):
+            make_train_step(model, VAEObjective(hp_mc), optimizer,
+                            mesh=seq_mesh)
+
+    def test_unchunked_rejected(self, seq_mesh):
+        import dataclasses
+
+        from sparse_vae_tpu.models.vae import VAEObjective
+        from sparse_vae_tpu.parallel.spmd import make_train_step
+        from sparse_vae_tpu.training.optimizer import make_optimizer
+
+        model, _, hp = _vae_setup(sp_size=4)
+        hp0 = dataclasses.replace(hp, loss_chunk_size=0)
+        optimizer = make_optimizer(lr=1e-2, lr_decay_steps=100,
+                                   grad_clip_threshold=5.0)
+        with pytest.raises(ValueError, match="loss_chunk_size"):
+            make_train_step(model, VAEObjective(hp0), optimizer,
+                            mesh=seq_mesh)
+
+    def test_unlocalized_module_rejected(self, seq_mesh):
+        from sparse_vae_tpu.models.vae import VAEObjective
+        from sparse_vae_tpu.parallel.spmd import make_train_step
+        from sparse_vae_tpu.training.optimizer import make_optimizer
+
+        model, objective, hp = _vae_setup()   # sp_size=1
+        optimizer = make_optimizer(lr=1e-2, lr_decay_steps=100,
+                                   grad_clip_threshold=5.0)
+        with pytest.raises(ValueError, match="sp_localize"):
+            make_train_step(model, objective, optimizer, mesh=seq_mesh)

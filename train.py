@@ -48,7 +48,10 @@ def main(args):
 
     devices = jax.devices()
     n = cfg.trainer.num_devices or len(devices)
-    mesh = create_mesh(num_devices=n, devices=devices) if n > 1 else None
+    mesh = create_mesh(num_devices=n, devices=devices,
+                       seq_axis=cfg.trainer.seq_parallel,
+                       model_axis=cfg.trainer.model_parallel) \
+        if n > 1 else None
     if mesh is not None:
         print(f"Mesh: {dict(mesh.shape)} over {devices[:n]}")
 
