@@ -261,9 +261,28 @@ class Attention(nn.Module):
             kv_mask_ext = jnp.concatenate([halo_m, m], axis=1) > 0
             cls_mask = jax.lax.psum(
                 jnp.where(idx == 0, m[:, :bs], 0), self.sp_axis) > 0
-        out = windowed_attention_ctx(
-            q, k_ext, v_ext, cls_k, cls_v, start, kv_mask_ext, cls_mask,
-            window_size=ws, block_size=bs)
+        if (self.use_pallas_kernel and jax.default_backend() == "tpu"
+                and bs % 128 == 0 and q.shape[-1] % 8 == 0):
+            # Fused Pallas path: the band kernels run per shard with
+            # q_off=window over the extended keys; the CLS block merges
+            # flash-style (ops/pallas_kernels.py sp_windowed_attention_*).
+            from .pallas_kernels import sp_windowed_attention_pallas
+            nrows = q.shape[0]
+            if kv_mask_ext is None:
+                ext_len = jnp.broadcast_to(
+                    jnp.where(idx == 0, S, ctx + S).astype(jnp.int32),
+                    (nrows,))
+                cls_len = jnp.full((nrows,), bs, jnp.int32)
+            else:
+                ext_len = jnp.sum(kv_mask_ext.astype(jnp.int32), axis=1)
+                cls_len = jnp.sum(cls_mask.astype(jnp.int32), axis=1)
+            out = sp_windowed_attention_pallas(
+                q, k_ext, v_ext, cls_k, cls_v, start, ext_len, cls_len,
+                ws, bs)
+        else:
+            out = windowed_attention_ctx(
+                q, k_ext, v_ext, cls_k, cls_v, start, kv_mask_ext, cls_mask,
+                window_size=ws, block_size=bs)
         return self._finalize(checkpoint_name(out, "attn_out"))
 
     def __call__(self, x_q, x_kv, kv_mask=None):

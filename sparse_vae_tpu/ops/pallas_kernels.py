@@ -57,7 +57,9 @@ def _slot_to_block(qb, slot, window_size: int, num_k_blocks: int,
 
     Slot 0 is the [CLS] block when include_cls (valid only when the band
     does not already reach block 0 — avoids double counting); the remaining
-    slots are the band.
+    slots are the band. `qb` and the returned block index live in the SAME
+    (key) block coordinate system — for the sequence-parallel q_off variant
+    the caller passes qb already shifted into extended-key coordinates.
     """
     band_slot = slot - 1 if include_cls else slot
     left = _band_left(window_size, causal)
@@ -71,11 +73,14 @@ def _slot_to_block(qb, slot, window_size: int, num_k_blocks: int,
 
 
 def _band_q_for_k(kb, slot, window_size: int, num_q_blocks: int,
-                  causal: bool):
+                  causal: bool, q_off: int = 0):
     """Inverse band map: the `slot`-th query block attending key block kb.
-    kb is in band(qb) iff qb in [kb + left - window, kb + left - 1]."""
+    kb is in band(qb) iff qb in [kb + left - window, kb + left - 1]. With
+    q_off (sequence parallelism: queries start q_off blocks into the
+    extended key axis), the returned index is LOCAL to the q tensor and
+    validity additionally requires it to exist there."""
     left = _band_left(window_size, causal)
-    qb = kb + left - window_size + slot
+    qb = kb + left - window_size + slot - q_off
     valid = (qb >= 0) & (qb < num_q_blocks)
     return jnp.clip(qb, 0, num_q_blocks - 1), valid
 
@@ -98,9 +103,10 @@ def _tile_mask(qb, kb, valid, shape_qk, length, block_size: int,
 
 def _fwd_kernel(lengths_ref, q_ref, *refs, window_size: int,
                 block_size: int, num_k_blocks: int, causal: bool,
-                include_cls: bool, sm_scale: float, slots: int):
+                include_cls: bool, sm_scale: float, slots: int,
+                q_off: int = 0):
     bi = pl.program_id(0)
-    qb = pl.program_id(1)
+    qb = pl.program_id(1) + q_off   # key-axis block coordinates
     k_refs, v_refs = refs[:slots], refs[slots:2 * slots]
     o_ref, lse_ref = refs[2 * slots], refs[2 * slots + 1]
 
@@ -142,25 +148,35 @@ def _fwd_kernel(lengths_ref, q_ref, *refs, window_size: int,
 @functools.partial(
     jax.jit,
     static_argnames=("window_size", "block_size", "causal", "include_cls",
-                     "interpret"))
+                     "interpret", "q_off"))
 def _sliding_window_attention_fwd_pallas(
         q, k, v, kv_mask, *, window_size: int, block_size: int,
-        causal: bool, include_cls: bool, interpret: bool = False):
-    b, h, L, d = q.shape
-    assert L % block_size == 0
-    nb = L // block_size
+        causal: bool, include_cls: bool, interpret: bool = False,
+        lengths=None, q_off: int = 0):
+    """q: [B, H, Lq, D], k/v: [B, H, Lk, D] with Lq + q_off*block_size == Lk
+    (q_off=0: the square single-device case; q_off=window_size: the
+    sequence-parallel extended-key case — query block i sits at key block
+    i + q_off). `lengths` overrides the kv_mask-derived per-row valid KEY
+    prefix (in key-axis positions)."""
+    b, h, Lq, d = q.shape
+    Lk = k.shape[2]
+    assert Lq % block_size == 0 and Lk % block_size == 0
+    assert Lk == Lq + q_off * block_size, (Lq, Lk, q_off)
+    nq = Lq // block_size
+    nk = Lk // block_size
     slots = window_size + (1 if include_cls else 0)
 
-    if kv_mask is None:
-        lengths = jnp.full((b,), L, jnp.int32)
-    else:
-        # Right-padding only => the mask is a prefix; row sum = valid length.
-        lengths = jnp.sum(kv_mask.astype(jnp.int32), axis=-1)
+    if lengths is None:
+        if kv_mask is None:
+            lengths = jnp.full((b,), Lk, jnp.int32)
+        else:
+            # Right-padding only => the mask is a prefix; row sum = length.
+            lengths = jnp.sum(kv_mask.astype(jnp.int32), axis=-1)
 
     def k_index(slot):
         def index(bi, qb, lens):
-            kb, _ = _slot_to_block(qb, slot, window_size, nb, causal,
-                                   include_cls)
+            kb, _ = _slot_to_block(qb + q_off, slot, window_size, nk,
+                                   causal, include_cls)
             return (bi, 0, kb, 0)
         return index
 
@@ -171,16 +187,16 @@ def _sliding_window_attention_fwd_pallas(
 
     kernel = functools.partial(
         _fwd_kernel, window_size=window_size, block_size=block_size,
-        num_k_blocks=nb, causal=causal, include_cls=include_cls,
-        sm_scale=d ** -0.5, slots=slots)
+        num_k_blocks=nk, causal=causal, include_cls=include_cls,
+        sm_scale=d ** -0.5, slots=slots, q_off=q_off)
 
     out, lse = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((b, h, L, d), q.dtype),
-                   jax.ShapeDtypeStruct((b, h, L), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((b, h, Lq, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, Lq), jnp.float32)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b, nb),
+            grid=(b, nq),
             in_specs=[qspec] + kspecs + kspecs,
             out_specs=(
                 pl.BlockSpec((1, h, block_size, d),
@@ -217,9 +233,10 @@ def _p_and_ds(q, k, v, do, lse, delta, mask, sm_scale):
 
 def _dq_kernel(lengths_ref, q_ref, do_ref, lse_ref, delta_ref, *refs,
                window_size: int, block_size: int, num_k_blocks: int,
-               causal: bool, include_cls: bool, sm_scale: float, slots: int):
+               causal: bool, include_cls: bool, sm_scale: float, slots: int,
+               q_off: int = 0):
     bi = pl.program_id(0)
-    qb = pl.program_id(1)
+    qb = pl.program_id(1) + q_off
     k_refs, v_refs = refs[:slots], refs[slots:2 * slots]
     dq_ref = refs[2 * slots]
 
@@ -244,7 +261,7 @@ def _dq_kernel(lengths_ref, q_ref, do_ref, lse_ref, delta_ref, *refs,
 
 def _dkv_band_kernel(lengths_ref, k_ref, v_ref, *refs, window_size: int,
                      block_size: int, num_q_blocks: int, causal: bool,
-                     sm_scale: float):
+                     sm_scale: float, q_off: int = 0):
     bi = pl.program_id(0)
     kb = pl.program_id(1)
     w = window_size
@@ -260,9 +277,9 @@ def _dkv_band_kernel(lengths_ref, k_ref, v_ref, *refs, window_size: int,
     dv = jnp.zeros((h, bk, d), jnp.float32)
     for slot in range(w):
         qb, valid = _band_q_for_k(kb, slot, window_size, num_q_blocks,
-                                  causal)
+                                  causal, q_off)
         q, do = q_refs[slot][0], do_refs[slot][0]
-        mask = _tile_mask(qb, kb, valid, (q.shape[1], bk), length,
+        mask = _tile_mask(qb + q_off, kb, valid, (q.shape[1], bk), length,
                           block_size, causal)
         p, ds = _p_and_ds(q, k, v, do, lse_refs[slot][0],
                           delta_refs[slot][0], mask, sm_scale)
@@ -316,18 +333,21 @@ def _dkv_cls_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("window_size", "block_size", "causal", "include_cls",
-                     "interpret"))
+                     "interpret", "q_off"))
 def _bwd_pallas(q, k, v, lengths, lse, o, do, *, window_size: int,
                 block_size: int, causal: bool, include_cls: bool,
-                interpret: bool = False):
-    b, h, L, d = q.shape
-    nb = L // block_size
+                interpret: bool = False, q_off: int = 0):
+    b, h, Lq, d = q.shape
+    Lk = k.shape[2]
+    nq = Lq // block_size
+    nk = Lk // block_size
+    assert Lk == Lq + q_off * block_size, (Lq, Lk, q_off)
     slots = window_size + (1 if include_cls else 0)
     sm_scale = d ** -0.5
 
     # delta_i = rowsum(do_i * o_i): tiny elementwise reduce, XLA fuses it.
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
-                    axis=-1)                                   # [B, H, L]
+                    axis=-1)                                   # [B, H, Lq]
 
     qspec = pl.BlockSpec((1, h, block_size, d),
                          lambda bi, qb, lens: (bi, 0, qb, 0))
@@ -336,8 +356,8 @@ def _bwd_pallas(q, k, v, lengths, lse, o, do, *, window_size: int,
 
     def k_index(slot):
         def index(bi, qb, lens):
-            kb, _ = _slot_to_block(qb, slot, window_size, nb, causal,
-                                   include_cls)
+            kb, _ = _slot_to_block(qb + q_off, slot, window_size, nk,
+                                   causal, include_cls)
             return (bi, 0, kb, 0)
         return index
 
@@ -347,12 +367,12 @@ def _bwd_pallas(q, k, v, lengths, lse, o, do, *, window_size: int,
     dq = pl.pallas_call(
         functools.partial(
             _dq_kernel, window_size=window_size, block_size=block_size,
-            num_k_blocks=nb, causal=causal, include_cls=include_cls,
-            sm_scale=sm_scale, slots=slots),
-        out_shape=jax.ShapeDtypeStruct((b, h, L, d), q.dtype),
+            num_k_blocks=nk, causal=causal, include_cls=include_cls,
+            sm_scale=sm_scale, slots=slots, q_off=q_off),
+        out_shape=jax.ShapeDtypeStruct((b, h, Lq, d), q.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b, nb),
+            grid=(b, nq),
             in_specs=[qspec, qspec, rowspec, rowspec] + kspecs + kspecs,
             out_specs=pl.BlockSpec(
                 (1, h, block_size, d),
@@ -366,13 +386,13 @@ def _bwd_pallas(q, k, v, lengths, lse, o, do, *, window_size: int,
     # Band part of dk/dv: walk each key block's attending query blocks.
     def q_index(slot):
         def index(bi, kb, lens):
-            qb, _ = _band_q_for_k(kb, slot, window_size, nb, causal)
+            qb, _ = _band_q_for_k(kb, slot, window_size, nq, causal, q_off)
             return (bi, 0, qb, 0)
         return index
 
     def qrow_index(slot):
         def index(bi, kb, lens):
-            qb, _ = _band_q_for_k(kb, slot, window_size, nb, causal)
+            qb, _ = _band_q_for_k(kb, slot, window_size, nq, causal, q_off)
             return (bi, 0, qb)
         return index
 
@@ -386,13 +406,13 @@ def _bwd_pallas(q, k, v, lengths, lse, o, do, *, window_size: int,
     dk, dv = pl.pallas_call(
         functools.partial(
             _dkv_band_kernel, window_size=window_size,
-            block_size=block_size, num_q_blocks=nb, causal=causal,
-            sm_scale=sm_scale),
-        out_shape=(jax.ShapeDtypeStruct((b, h, L, d), k.dtype),
-                   jax.ShapeDtypeStruct((b, h, L, d), v.dtype)),
+            block_size=block_size, num_q_blocks=nq, causal=causal,
+            sm_scale=sm_scale, q_off=q_off),
+        out_shape=(jax.ShapeDtypeStruct((b, h, Lk, d), k.dtype),
+                   jax.ShapeDtypeStruct((b, h, Lk, d), v.dtype)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b, nb),
+            grid=(b, nk),
             in_specs=[kself, kself] + qspecs + qspecs + qrows + qrows,
             out_specs=(
                 pl.BlockSpec((1, h, block_size, d),
@@ -408,6 +428,8 @@ def _bwd_pallas(q, k, v, lengths, lse, o, do, *, window_size: int,
 
     # CLS column: query blocks beyond band(0) also hit key block 0.
     left = _band_left(window_size, causal)
+    nb = nq  # the CLS kernel below runs only in the square q_off=0 case
+    assert not (include_cls and q_off), "CLS column handled by the caller"
     if include_cls and nb > left:
         cspec = pl.BlockSpec((1, h, block_size, d),
                              lambda bi, j, lens: (bi, 0, left + j, 0))
@@ -488,3 +510,140 @@ def _bwd(window_size, block_size, causal, include_cls, interpret,
 
 
 sliding_window_attention_pallas.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Sequence-parallel variant (parallel/sp.py): fused kernels per length shard
+# ---------------------------------------------------------------------------
+#
+# Each 'seq' shard holds S query tokens at absolute positions start..start+S-1
+# and extended keys [halo | local] covering start-ctx..start+S-1 (ctx =
+# window*block). The SAME band kernels run with q_off=window (query block i
+# sits at key block i+window), include_cls=False; the [CLS] block — a
+# separate psum-broadcast tensor — is attended by every query on shards > 0
+# (start>=ctx>=window blocks guarantees it is beyond the band) as one small
+# XLA attention merged flash-style: forward combines (out, lse) pieces by
+# logaddexp; backward feeds the JOINT lse and total output into the band
+# kernels (p = exp(s - lse_joint) is the exact partial probability, so the
+# standard flash ds = p (dp - delta) decomposition holds per key subset).
+# Sequence shard 0 (start == 0) instead runs the unchanged single-device
+# square kernel on its local slice — its band already contains block 0 with
+# the CLS slot's double-count guard, which the q_off trick cannot express.
+
+
+def _cls_attend(q, cls_k, cls_v, cls_len):
+    """Normalized attention of every query over the [CLS] key block.
+    Returns (out [B,H,S,D] fp32, lse [B,H,S])."""
+    d = q.shape[-1]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, cls_k,
+                   preferred_element_type=jnp.float32) * (d ** -0.5)
+    col = jnp.arange(cls_k.shape[2])
+    mask = col[None, :] < cls_len[:, None]                    # [B, bs]
+    s = jnp.where(mask[:, None, None, :], s, MASK_VALUE)
+    m = jnp.max(s, axis=-1)
+    p = jnp.exp(s - m[..., None])
+    l = jnp.sum(p, axis=-1)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(cls_v.dtype), cls_v
+                   ).astype(jnp.float32) / l[..., None]
+    return o, m + jnp.log(l)
+
+
+def _sp_fwd_impl(q, k_ext, v_ext, cls_k, cls_v, start, ext_len, cls_len,
+                 window_size, block_size, interpret):
+    ctx = window_size * block_size
+
+    def square(_):
+        out, lse, _ = _sliding_window_attention_fwd_pallas(
+            q, k_ext[:, :, ctx:], v_ext[:, :, ctx:], None,
+            window_size=window_size, block_size=block_size, causal=True,
+            include_cls=True, interpret=interpret, lengths=ext_len)
+        return out, lse
+
+    def banded(_):
+        out_b, lse_b, _ = _sliding_window_attention_fwd_pallas(
+            q, k_ext, v_ext, None, window_size=window_size,
+            block_size=block_size, causal=True, include_cls=False,
+            interpret=interpret, lengths=ext_len, q_off=window_size)
+        o_c, lse_c = _cls_attend(q, cls_k, cls_v, cls_len)
+        lse_t = jnp.logaddexp(lse_b, lse_c)
+        w_b = jnp.exp(lse_b - lse_t)[..., None]
+        w_c = jnp.exp(lse_c - lse_t)[..., None]
+        out = (w_b * out_b.astype(jnp.float32) + w_c * o_c).astype(q.dtype)
+        return out, lse_t
+
+    return jax.lax.cond(start == 0, square, banded, None)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def sp_windowed_attention_pallas(q, k_ext, v_ext, cls_k, cls_v, start,
+                                 ext_len, cls_len, window_size: int,
+                                 block_size: int, interpret: bool = False):
+    """Fused sliding-window + CLS attention for one sequence-parallel shard.
+
+    q: [B, H, S, D] at absolute positions start..start+S-1 (start traced,
+    block-multiple, >= S on every shard but 0); k_ext/v_ext:
+    [B, H, ctx+S, D] at positions start-ctx.. (leading ctx rows = the left
+    halo); cls_k/cls_v: [B, H, block, D] global block 0. ext_len: [B] valid
+    EXTENDED-key prefix per row (on shard 0 this is the LOCAL prefix — its
+    halo rows are all invalid); cls_len: [B] valid CLS prefix. Semantics ==
+    parallel.sp.windowed_attention_ctx (the blocked-XLA oracle, tested)."""
+    out, _ = _sp_fwd_impl(q, k_ext, v_ext, cls_k, cls_v, start, ext_len,
+                          cls_len, window_size, block_size, interpret)
+    return out
+
+
+def _sp_fwd(q, k_ext, v_ext, cls_k, cls_v, start, ext_len, cls_len,
+            window_size, block_size, interpret):
+    out, lse = _sp_fwd_impl(q, k_ext, v_ext, cls_k, cls_v, start, ext_len,
+                            cls_len, window_size, block_size, interpret)
+    return out, (q, k_ext, v_ext, cls_k, cls_v, start, ext_len, cls_len,
+                 out, lse)
+
+
+def _sp_bwd(window_size, block_size, interpret, res, g):
+    (q, k_ext, v_ext, cls_k, cls_v, start, ext_len, cls_len, out, lse) = res
+    ctx = window_size * block_size
+
+    def square(_):
+        dq, dk, dv = _bwd_pallas(
+            q, k_ext[:, :, ctx:], v_ext[:, :, ctx:], ext_len, lse, out, g,
+            window_size=window_size, block_size=block_size, causal=True,
+            include_cls=True, interpret=interpret)
+        dk_ext = jnp.concatenate(
+            [jnp.zeros_like(k_ext[:, :, :ctx]), dk], axis=2)
+        dv_ext = jnp.concatenate(
+            [jnp.zeros_like(v_ext[:, :, :ctx]), dv], axis=2)
+        return (dq, dk_ext, dv_ext, jnp.zeros_like(cls_k),
+                jnp.zeros_like(cls_v))
+
+    def banded(_):
+        dq, dk_ext, dv_ext = _bwd_pallas(
+            q, k_ext, v_ext, ext_len, lse, out, g,
+            window_size=window_size, block_size=block_size, causal=True,
+            include_cls=False, interpret=interpret, q_off=window_size)
+        # CLS term with JOINT normalization (lse is the merged logsumexp).
+        d = q.shape[-1]
+        scale = d ** -0.5
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, cls_k,
+                       preferred_element_type=jnp.float32) * scale
+        col = jnp.arange(cls_k.shape[2])
+        mask = (col[None, :] < cls_len[:, None])[:, None, None, :]
+        p = jnp.where(mask, jnp.exp(s - lse[..., None]), 0.0)
+        gf = g.astype(jnp.float32)
+        delta = jnp.sum(gf * out.astype(jnp.float32), axis=-1)  # [B,H,S]
+        dp = jnp.einsum("bhqd,bhkd->bhqk", g, cls_v,
+                        preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[..., None]) * scale
+        dq = dq + jnp.einsum(
+            "bhqk,bhkd->bhqd", ds.astype(cls_k.dtype), cls_k).astype(dq.dtype)
+        dcls_k = jnp.einsum("bhqk,bhqd->bhkd", ds.astype(q.dtype), q)
+        dcls_v = jnp.einsum("bhqk,bhqd->bhkd", p.astype(g.dtype), g)
+        return (dq, dk_ext, dv_ext, dcls_k.astype(cls_k.dtype),
+                dcls_v.astype(cls_v.dtype))
+
+    dq, dk_ext, dv_ext, dcls_k, dcls_v = jax.lax.cond(
+        start == 0, square, banded, None)
+    return dq, dk_ext, dv_ext, dcls_k, dcls_v, None, None, None
+
+
+sp_windowed_attention_pallas.defvjp(_sp_fwd, _sp_bwd)

@@ -93,6 +93,95 @@ class TestWindowedAttentionCtx:
                 rtol=1e-5, atol=1e-5, err_msg=f"shard {i}")
 
 
+class TestSpPallasKernel:
+    """The fused sequence-parallel Pallas path (interpret mode on CPU) vs
+    the blocked-XLA oracle — values and gradients, both branches of the
+    start==0 cond, with and without padding."""
+
+    def _inputs(self, seed, B=2, H=2, S=64, D=8, bs=16, ws=2, pad=False):
+        ctx = ws * bs
+        rng = jax.random.PRNGKey(seed)
+        ks = jax.random.split(rng, 6)
+        q = jax.random.normal(ks[0], (B, H, S, D))
+        k_ext = jax.random.normal(ks[1], (B, H, ctx + S, D))
+        v_ext = jax.random.normal(ks[2], (B, H, ctx + S, D))
+        cls_k = jax.random.normal(ks[3], (B, H, bs, D))
+        cls_v = jax.random.normal(ks[4], (B, H, bs, D))
+        if pad:
+            ext_len = jax.random.randint(ks[5], (B,), ctx + S // 2, ctx + S)
+            cls_len = jnp.full((B,), bs, jnp.int32)
+        else:
+            ext_len = jnp.full((B,), ctx + S, jnp.int32)
+            cls_len = jnp.full((B,), bs, jnp.int32)
+        return q, k_ext, v_ext, cls_k, cls_v, ext_len, cls_len, bs, ws
+
+    @pytest.mark.parametrize("start_blocks,pad", [(0, False), (8, False),
+                                                  (8, True), (4, True)])
+    def test_matches_oracle_and_grads(self, start_blocks, pad):
+        from sparse_vae_tpu.ops.pallas_kernels import \
+            sp_windowed_attention_pallas
+
+        (q, k_ext, v_ext, cls_k, cls_v, ext_len, cls_len,
+         bs, ws) = self._inputs(start_blocks + 17, pad=pad)
+        ctx = ws * bs
+        start = jnp.asarray(start_blocks * bs)
+        if start_blocks == 0:
+            # shard 0: halo rows are invalid — ext_len counts LOCAL keys.
+            ext_len = jnp.minimum(ext_len - ctx, q.shape[2])
+
+        pos = jnp.arange(ctx + q.shape[2])
+        if start_blocks == 0:
+            mask_ext = (pos[None, :] >= ctx) & (
+                pos[None, :] - ctx < ext_len[:, None])
+        else:
+            mask_ext = pos[None, :] < ext_len[:, None]
+        cls_mask = jnp.arange(bs)[None, :] < cls_len[:, None]
+
+        from sparse_vae_tpu.parallel.sp import windowed_attention_ctx
+
+        # On shard 0 the CLS store IS the local block 0 (the psum broadcast
+        # of it): derive it inside the function so both implementations —
+        # whose gradient DECOMPOSITION between dk_ext and dcls differs on
+        # shard 0 (branch A never consumes the cls tensors) — are compared
+        # on the same total.
+        if start_blocks == 0:
+            def expand(args):
+                q_, ke_, ve_ = args
+                return (q_, ke_, ve_, ke_[:, :, ctx:ctx + bs],
+                        ve_[:, :, ctx:ctx + bs])
+            args = (q, k_ext, v_ext)
+            names = ("dq", "dk_ext", "dv_ext")
+        else:
+            expand = lambda a: a
+            args = (q, k_ext, v_ext, cls_k, cls_v)
+            names = ("dq", "dk_ext", "dv_ext", "dcls_k", "dcls_v")
+
+        def run_oracle(args):
+            return windowed_attention_ctx(
+                *expand(args)[:5], start, mask_ext, cls_mask,
+                window_size=ws, block_size=bs)
+
+        def run_kernel(args):
+            return sp_windowed_attention_pallas(
+                *expand(args)[:5], start, ext_len, cls_len, ws, bs, True)
+
+        expected = run_oracle(args)
+        got = run_kernel(args)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   rtol=1e-5, atol=1e-5)
+
+        cot = jax.random.normal(jax.random.PRNGKey(99), expected.shape)
+
+        def loss(fn):
+            return lambda a: jnp.sum(fn(a) * cot)
+
+        g_oracle = jax.grad(loss(run_oracle))(args)
+        g_kernel = jax.grad(loss(run_kernel))(args)
+        for a, b, name in zip(g_oracle, g_kernel, names):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-4, err_msg=name)
+
+
 class TestSeqCollectives:
     def test_cross_attention_combine(self, seq_mesh):
         from jax.sharding import PartitionSpec as P
