@@ -97,9 +97,19 @@ class TransformerVAE(TransformerLanguageModel):
     def reconstruct_ll(self, token_ids, z, deterministic: bool = True):
         """Per-document log p(x|z) [B] with the next-token shift applied and
         logits never fully materialized — the long-document path for the
-        IWAE / DReG estimators (test.py runs the pg19 preset through this)."""
+        IWAE / DReG estimators (test.py runs the pg19 preset through this).
+
+        Under sequence parallelism each shard's row sums cover its token
+        slice; one psum (true-adjoint collective, parallel/sp.py) makes the
+        return the GLOBAL per-document value on every shard — which is what
+        lets the multi-sample IWAE/DReG bound (nonlinear in the per-doc ll)
+        run on a 'seq' mesh."""
         h = self.reconstruct_hidden(token_ids, z, deterministic)
-        return self.sequence_ll_rows(h, self.labels_for(token_ids))
+        ll = self.sequence_ll_rows(h, self.labels_for(token_ids))
+        if getattr(self.hparams, "sp_size", 1) > 1:
+            from ..parallel.sp import sum_over_shards
+            ll = sum_over_shards(ll, "seq")
+        return ll
 
     # -- training forward (VAEObjective contract) ---------------------------
     def __call__(self, token_ids, deterministic: bool = True):

@@ -192,6 +192,12 @@ class VAEObjective:
         # chunking is requested — [K, B, L, V] logits never materialize.
         use_ll = (getattr(self.hp, "loss_chunk_size", 0)
                   and hasattr(type(module), "reconstruct_ll"))
+        if getattr(module.hparams, "sp_size", 1) > 1 and not use_ll:
+            raise ValueError(
+                "multi-sample training on a 'seq' mesh requires the chunked "
+                "per-document path (loss_chunk_size > 0 and a reconstruct_ll "
+                "method): full logits are length-sharded and the bound is "
+                "nonlinear in per-shard partial likelihoods")
         method = (type(module).reconstruct_ll if use_ll
                   else type(module).reconstruct)
 

@@ -91,12 +91,12 @@ class _SeqOnceObjective:
     def __init__(self, inner):
         self.inner = inner
         hp = getattr(inner, "hp", None)
-        if getattr(hp, "train_mc_samples", 1) > 1:
-            raise ValueError(
-                "sequence parallelism supports the single-sample ELBO only: "
-                "the multi-sample IWAE/DReG bound is nonlinear in the "
-                "per-shard partial log-likelihoods (logsumexp over samples "
-                "of a sum over shards)")
+        # The multi-sample IWAE/DReG bound is nonlinear in the per-document
+        # log-likelihood, so it cannot ride the linear sums composition
+        # across shards — instead the model's reconstruct_ll psums its
+        # per-shard row sums INTO the global per-doc value before the bound
+        # (TransformerVAE.reconstruct_ll), and the resulting bound sums are
+        # per-ROW statistics masked to sequence shard 0 here.
         if not getattr(hp, "loss_chunk_size", 0):
             raise ValueError(
                 "sequence parallelism requires the chunked loss path "

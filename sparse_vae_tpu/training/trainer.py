@@ -107,6 +107,21 @@ class Trainer:
         from ..parallel.sp import sp_localize
         from ..parallel.tp import tp_localize
         self._sp_size = mesh.shape.get("seq", 1) if mesh is not None else 1
+        if self._sp_size > 1:
+            # Every batch's length must split into per-shard slices that are
+            # window-band multiples (Attention._sp_call): bucket lengths to
+            # multiples of seq * window * block so L/seq is a whole number
+            # of bands (>= the halo) on every shard.
+            import math
+            need = (self._sp_size
+                    * getattr(self.hp, "attn_window_size", 1)
+                    * getattr(self.hp, "attn_block_size", 1))
+            cur = self.data.hparams.pad_to_multiple_of
+            if cur % need:
+                self.data.hparams.pad_to_multiple_of = math.lcm(cur, need)
+                print(f"seq_parallel={self._sp_size}: padding batch lengths "
+                      f"to multiples of "
+                      f"{self.data.hparams.pad_to_multiple_of} (was {cur})")
         step_module = sp_localize(tp_localize(module, self._tp_size),
                                   self._sp_size)
         self._train_step = make_train_step(step_module, objective,

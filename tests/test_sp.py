@@ -392,6 +392,58 @@ class TestSeqParallelStep:
         np.testing.assert_allclose(float(m1["loss"]), float(loss0),
                                    rtol=1e-5)
 
+    def test_dreg_train_step_exact(self, seq_mesh):
+        """Multi-sample IWAE/DReG on a 'seq' mesh: reconstruct_ll psums the
+        per-shard row sums into the global per-document value, so the
+        nonlinear bound runs unchanged — one optimizer step equals the
+        single-device step."""
+        import dataclasses
+
+        import optax
+
+        from sparse_vae_tpu.models.transformer_vae import TransformerVAE
+        from sparse_vae_tpu.models.vae import VAEObjective
+        from sparse_vae_tpu.parallel.spmd import make_train_step, shard_batch
+        from sparse_vae_tpu.training.optimizer import make_optimizer
+
+        _, _, hp = _vae_setup()
+        hp = dataclasses.replace(hp, train_mc_samples=3)
+        model = TransformerVAE(hp)
+        objective = VAEObjective(hp)
+        sp_model = sp_localize(model, 4)
+        optimizer = make_optimizer(lr=1e-2, lr_decay_steps=1000,
+                                   grad_clip_threshold=5.0)
+
+        rng = jax.random.PRNGKey(21)
+        k, b, L = 1, 2, 256
+        batch = _batch(rng, k, b, L, 128)
+        params = model.init({"params": rng, "sample": rng},
+                            batch["token_ids"][0][:1])["params"]
+        opt_state = optimizer.init(params)
+
+        step_fn = make_train_step(sp_model, objective, optimizer,
+                                  mesh=seq_mesh)
+        step_rng = jax.random.PRNGKey(23)
+        p1, _, m1 = step_fn(jax.tree.map(jnp.array, params),
+                            jax.tree.map(jnp.array, opt_state),
+                            shard_batch(batch, seq_mesh, stacked=True),
+                            jnp.asarray(0), step_rng)
+
+        rngs_s = jax.random.split(jax.random.fold_in(step_rng, 0), k)
+        mb = {name: arr[0] for name, arr in batch.items()}
+        (loss0, metrics0), g = jax.value_and_grad(
+            lambda p: objective.loss(model, p, mb, 0, rngs_s[0]),
+            has_aux=True)(params)
+        updates, _ = optimizer.update(g, opt_state, params)
+        p0 = optax.apply_updates(params, updates)
+
+        np.testing.assert_allclose(float(m1["loss"]), float(loss0),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(
+            float(m1["train_iwae_log_prob"]),
+            float(metrics0["train_iwae_log_prob"]), rtol=1e-5)
+        _tree_allclose(p1, p0, rtol=2e-4, atol=2e-6)
+
     def test_eval_step_exact(self, seq_mesh):
         from sparse_vae_tpu.parallel.spmd import make_eval_step, shard_batch
 
@@ -433,21 +485,6 @@ class TestGuards:
                                       vocab_size=64)
         with pytest.raises(ValueError, match="sequence parallelism"):
             sp_localize(LSTMLanguageModel(hp), 4)
-
-    def test_multi_sample_rejected(self, seq_mesh):
-        import dataclasses
-
-        from sparse_vae_tpu.models.vae import VAEObjective
-        from sparse_vae_tpu.parallel.spmd import make_train_step
-        from sparse_vae_tpu.training.optimizer import make_optimizer
-
-        model, _, hp = _vae_setup(sp_size=4)
-        hp_mc = dataclasses.replace(hp, train_mc_samples=4)
-        optimizer = make_optimizer(lr=1e-2, lr_decay_steps=100,
-                                   grad_clip_threshold=5.0)
-        with pytest.raises(ValueError, match="single-sample"):
-            make_train_step(model, VAEObjective(hp_mc), optimizer,
-                            mesh=seq_mesh)
 
     def test_unchunked_rejected(self, seq_mesh):
         import dataclasses
