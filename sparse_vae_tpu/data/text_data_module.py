@@ -125,10 +125,16 @@ class TextDataModule:
     def epoch_batches(self, split: str = "train",
                       seed: Optional[int] = None,
                       drop_remainder: bool = False,
-                      rows_multiple_of: int = 1) -> Iterator[TextBatch]:
+                      rows_multiple_of: int = 1,
+                      pad_to_multiple_of: Optional[int] = None
+                      ) -> Iterator[TextBatch]:
+        """pad_to_multiple_of overrides the configured bucket quantum for
+        this iteration only (the sequence-parallel Trainer passes the
+        lcm with its band constraint without mutating shared hparams)."""
         rng = np.random.default_rng(seed)
         return iterate_epoch(self.splits[split], self.hparams.tokens_per_batch,
-                             self.hparams.pad_to_multiple_of, rng,
+                             pad_to_multiple_of
+                             or self.hparams.pad_to_multiple_of, rng,
                              drop_remainder, rows_multiple_of)
 
     def num_batches(self, split: str = "train") -> int:

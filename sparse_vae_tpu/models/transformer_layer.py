@@ -61,11 +61,20 @@ class TransformerLayer(nn.Module):
         self.attn_layer_norm = nn.LayerNorm(dtype=self.dtype)
         self.ffn_layer_norm = nn.LayerNorm(dtype=self.dtype)
         if self.use_cross_attention:
+            # Under sequence parallelism the cross-attention's sp role
+            # depends on which side is sharded: the Perceiver pattern
+            # (sp_cross_only) has REPLICATED queries (latents) over the
+            # sharded document — the distributed-softmax combine; a decoder
+            # layer's cross-attention has SHARDED queries over a replicated
+            # context — plain local attention (sp_size=1), exact because
+            # each shard attends the full context for its own rows.
             self.cross_attention = Attention(
                 d_model=self.d_model, num_heads=self.num_heads,
                 dtype=self.dtype,
                 tp_size=self.tp_size, tp_axis=self.tp_axis,
-                sp_size=self.sp_size, sp_axis=self.sp_axis)
+                sp_size=self.sp_size if self.sp_cross_only else 1,
+                sp_axis=self.sp_axis,
+                sp_replicated_q=self.sp_cross_only)
             self.cross_attn_layer_norm = nn.LayerNorm(dtype=self.dtype)
             self.context_layer_norm = nn.LayerNorm(dtype=self.dtype)
 
@@ -86,7 +95,11 @@ class TransformerLayer(nn.Module):
         context: [B, Lc, D] for cross-attention."""
         y = self.attn_layer_norm(x)
         y = self.attention(y, y, kv_mask=mask)
-        x = x + y if x.shape == y.shape else y  # learned queries change L
+        # No residual for learned-query layers: the query bank replaced x
+        # (ref :49 gates on shape equality, which is equivalent for its
+        # configs but misfires when a sequence shard happens to equal
+        # num_latents — gate on intent instead).
+        x = y if self.learned_queries else x + y
 
         if self.use_cross_attention and context is not None:
             ctx = self.context_layer_norm(context)

@@ -110,6 +110,12 @@ class VAEObjective:
         the sharded loss and gradient exactly the global token/row-weighted
         ones no matter how unevenly real tokens spread over shards."""
         drop_rng, sample_rng, mi_rng = jax.random.split(rng, 3)
+        if getattr(module.hparams, "sp_size", 1) > 1:
+            # Per-shard dropout streams (shards hold different token
+            # slices); the 'sample' stream must NOT fold — z has to be
+            # identical on every sequence shard.
+            drop_rng = jax.random.fold_in(drop_rng,
+                                          jax.lax.axis_index("seq"))
         rngs = {"dropout": drop_rng, "sample": sample_rng}
         if getattr(self.hp, "train_mc_samples", 1) > 1:
             if getattr(self.hp, "free_bits", 0.0) > 0.0:

@@ -21,6 +21,11 @@ from .rotary import apply_rotary
 
 NEG_INF = -1e9  # bf16-safe large negative (the reference used -1e7 fp16)
 
+# Test hook: force the sequence-parallel Pallas dispatch (in interpret mode)
+# off-TPU, so the kernel path can run inside the full sharded train step on
+# the virtual CPU mesh (tests/test_sp.py).
+_SP_KERNEL_INTERPRET = False
+
 
 def sliding_window_block_mask(num_q: int, num_k: int, block_size: int,
                               window_size: int, causal: bool = True,
@@ -133,6 +138,11 @@ class Attention(nn.Module):
     # and the global/init module) is exactly the old behavior.
     sp_size: int = 1
     sp_axis: str = "seq"
+    # The distributed-softmax combine is only valid when the QUERIES are
+    # replicated over 'seq' (learned query banks imply it; a cross-attention
+    # whose x_q is the replicated latent set declares it here). Sharded-q
+    # cases must take the halo path (sparse causal) or keep sp_size=1.
+    sp_replicated_q: bool = False
 
     @property
     def local_heads(self) -> int:
@@ -218,18 +228,21 @@ class Attention(nn.Module):
         S = x_kv.shape[1]
         start = idx * S
 
-        if self.learned_queries or not self.causal:
+        if self.learned_queries or self.sp_replicated_q:
+            # Replicated queries over the sharded key axis.
             q, k, v = self._project(x_q, x_kv, k_pos_offset=start)
             q, k, v = (split_heads(t, self.local_heads) for t in (q, k, v))
             out = seq_parallel_cross_attention(q, k, v, kv_mask, self.sp_axis)
             return self._finalize(out)
 
-        if not self.sparse:
+        if not (self.sparse and self.causal):
             raise ValueError(
-                "sequence parallelism shards the sparse sliding-window "
-                "decoder and cross/learned-query attention; dense causal "
-                "self-attention has no bounded halo — use "
-                "sparse_self_attention=true")
+                "sequence parallelism supports the sparse causal "
+                "sliding-window decoder (window-band halo) and "
+                "replicated-query cross/learned-query attention "
+                "(sp_replicated_q); this configuration "
+                f"(sparse={self.sparse}, causal={self.causal}) would psum "
+                "partials of SHARDED queries — keep sp_size=1 for it")
         bs, ws = self.block_size, self.window_size
         ctx = ws * bs
         if S % bs != 0:
@@ -243,6 +256,7 @@ class Attention(nn.Module):
         q, k, v = self._project(x_q, x_kv, pos_offset=start,
                                 k_pos_offset=start)
         q, k, v = (split_heads(t, self.local_heads) for t in (q, k, v))
+        q = checkpoint_name(q, "attn_qkv")
         halo_k = halo_from_left(k[:, :, -ctx:], self.sp_size, self.sp_axis)
         halo_v = halo_from_left(v[:, :, -ctx:], self.sp_size, self.sp_axis)
         zeros = jnp.zeros_like(k[:, :, :bs])
@@ -250,19 +264,29 @@ class Attention(nn.Module):
             jnp.where(idx == 0, k[:, :, :bs], zeros), self.sp_axis)
         cls_v = sum_over_shards(
             jnp.where(idx == 0, v[:, :, :bs], zeros), self.sp_axis)
-        k_ext = jnp.concatenate([halo_k, k], axis=2)
-        v_ext = jnp.concatenate([halo_v, v], axis=2)
+        # Remat save points AFTER the collectives: 'dots_attn_qkv' then
+        # re-pays neither the projections nor the halo/CLS communication
+        # in the backward pass.
+        k_ext = checkpoint_name(jnp.concatenate([halo_k, k], axis=2),
+                                "attn_qkv")
+        v_ext = checkpoint_name(jnp.concatenate([halo_v, v], axis=2),
+                                "attn_qkv")
+        cls_k = checkpoint_name(cls_k, "attn_qkv")
+        cls_v = checkpoint_name(cls_v, "attn_qkv")
         kv_mask_ext = cls_mask = None
         if kv_mask is not None:
+            # Same pinned collectives as the K/V tensors (ints are never
+            # differentiated, so the custom VJPs are inert here) — the mask
+            # halo can never drift from the K/V halo convention.
             m = kv_mask.astype(jnp.int32)
-            halo_m = jax.lax.ppermute(
-                m[:, -ctx:], self.sp_axis,
-                [(i, i + 1) for i in range(self.sp_size - 1)])
+            halo_m = halo_from_left(m[:, -ctx:], self.sp_size, self.sp_axis)
             kv_mask_ext = jnp.concatenate([halo_m, m], axis=1) > 0
-            cls_mask = jax.lax.psum(
+            cls_mask = sum_over_shards(
                 jnp.where(idx == 0, m[:, :bs], 0), self.sp_axis) > 0
-        if (self.use_pallas_kernel and jax.default_backend() == "tpu"
-                and bs % 128 == 0 and q.shape[-1] % 8 == 0):
+        if self.use_pallas_kernel and (
+                _SP_KERNEL_INTERPRET
+                or (jax.default_backend() == "tpu"
+                    and bs % 128 == 0 and q.shape[-1] % 8 == 0)):
             # Fused Pallas path: the band kernels run per shard with
             # q_off=window over the extended keys; the CLS block merges
             # flash-style (ops/pallas_kernels.py sp_windowed_attention_*).
@@ -278,7 +302,7 @@ class Attention(nn.Module):
                 cls_len = jnp.sum(cls_mask.astype(jnp.int32), axis=1)
             out = sp_windowed_attention_pallas(
                 q, k_ext, v_ext, cls_k, cls_v, start, ext_len, cls_len,
-                ws, bs)
+                ws, bs, _SP_KERNEL_INTERPRET)
         else:
             out = windowed_attention_ctx(
                 q, k_ext, v_ext, cls_k, cls_v, start, kv_mask_ext, cls_mask,

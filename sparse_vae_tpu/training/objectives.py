@@ -60,6 +60,12 @@ class ARObjective:
                 and hasattr(type(module), "forward_hidden"))
 
     def _chunked_stats(self, module, params, batch, rng=None):
+        if rng is not None and getattr(module.hparams, "sp_size", 1) > 1:
+            # Sequence shards hold different token slices: an unfolded
+            # dropout rng would drop the same positions on every shard (a
+            # period-L/sp correlated pattern). Only the dropout stream
+            # folds — sample-type streams must stay replicated.
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("seq"))
         rngs = {"dropout": rng} if rng is not None else {}
         hidden = module.apply({"params": params}, batch["token_ids"],
                               rngs=rngs, deterministic=rng is None,

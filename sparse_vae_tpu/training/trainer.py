@@ -107,21 +107,23 @@ class Trainer:
         from ..parallel.sp import sp_localize
         from ..parallel.tp import tp_localize
         self._sp_size = mesh.shape.get("seq", 1) if mesh is not None else 1
+        self._pad_multiple = None
         if self._sp_size > 1:
             # Every batch's length must split into per-shard slices that are
             # window-band multiples (Attention._sp_call): bucket lengths to
             # multiples of seq * window * block so L/seq is a whole number
-            # of bands (>= the halo) on every shard.
+            # of bands (>= the halo) on every shard. Passed as a per-call
+            # override to epoch_batches — the shared data hparams are not
+            # mutated.
             import math
             need = (self._sp_size
                     * getattr(self.hp, "attn_window_size", 1)
                     * getattr(self.hp, "attn_block_size", 1))
             cur = self.data.hparams.pad_to_multiple_of
             if cur % need:
-                self.data.hparams.pad_to_multiple_of = math.lcm(cur, need)
+                self._pad_multiple = math.lcm(cur, need)
                 print(f"seq_parallel={self._sp_size}: padding batch lengths "
-                      f"to multiples of "
-                      f"{self.data.hparams.pad_to_multiple_of} (was {cur})")
+                      f"to multiples of {self._pad_multiple} (was {cur})")
         step_module = sp_localize(tp_localize(module, self._tp_size),
                                   self._sp_size)
         self._train_step = make_train_step(step_module, objective,
@@ -164,7 +166,8 @@ class Trainer:
         k = self.thp.accumulate_grad_batches
         pending: Dict[tuple, list] = {}
         for batch in self.data.epoch_batches(
-                "train", seed=seed, rows_multiple_of=self._rows_multiple):
+                "train", seed=seed, rows_multiple_of=self._rows_multiple,
+                pad_to_multiple_of=self._pad_multiple):
             key = batch.token_ids.shape
             pending.setdefault(key, []).append(batch)
             if len(pending[key]) == k:
@@ -189,7 +192,8 @@ class Trainer:
         totals: Dict[str, float] = {}
         limit = max_batches or self.thp.limit_val_batches
         for i, batch in enumerate(self.data.epoch_batches(
-                "test", seed=0, rows_multiple_of=self._rows_multiple)):
+                "test", seed=0, rows_multiple_of=self._rows_multiple,
+                pad_to_multiple_of=self._pad_multiple)):
             if limit is not None and i >= limit:
                 break
             stats = self._eval_step(params, self._put(batch_arrays(batch)),

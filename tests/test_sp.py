@@ -224,14 +224,14 @@ class TestSeqCollectives:
                                       np.asarray(expected))
 
 
-def _vae_setup(sp_size=1, free_bits=0.0):
+def _vae_setup(sp_size=1, free_bits=0.0, latents=4):
     from sparse_vae_tpu.models.transformer_vae import (TransformerVAE,
                                                        TransformerVAEHparams)
     from sparse_vae_tpu.models.vae import VAEObjective
 
     hp = TransformerVAEHparams(
         d_model=64, num_heads=2, num_layers=2, latent_depth=8,
-        vocab_size=128, num_encoder_latents=4,
+        vocab_size=128, num_encoder_latents=latents,
         sparse_self_attention=True, attn_window_size=2, attn_block_size=16,
         use_pallas_kernel=False, loss_chunk_size=32, free_bits=free_bits,
         sp_size=sp_size)
@@ -256,13 +256,18 @@ class TestSeqParallelStep:
     def test_vae_train_step_exact(self, seq_mesh):
         """One optimizer step on a seq=4 mesh == the single-device step with
         the same pinned RNG semantics (fold by data index 0, split per
-        microbatch) — loss, KL metric, and every updated parameter."""
+        microbatch) — loss, KL metric, and every updated parameter.
+
+        num_encoder_latents == the per-shard length (64) on purpose: the
+        Perceiver's learned-query layer must NOT add a residual just because
+        the sharded document slice happens to match the latent set's shape
+        (the reference's shape-equality gate misfires there)."""
         import optax
 
         from sparse_vae_tpu.parallel.spmd import make_train_step, shard_batch
         from sparse_vae_tpu.training.optimizer import make_optimizer
 
-        model, objective, hp = _vae_setup()
+        model, objective, hp = _vae_setup(latents=64)
         sp_model = sp_localize(model, 4)
         optimizer = make_optimizer(lr=1e-2, lr_decay_steps=1000,
                                    grad_clip_threshold=5.0)
@@ -442,6 +447,54 @@ class TestSeqParallelStep:
         np.testing.assert_allclose(
             float(m1["train_iwae_log_prob"]),
             float(metrics0["train_iwae_log_prob"]), rtol=1e-5)
+        _tree_allclose(p1, p0, rtol=2e-4, atol=2e-6)
+
+    def test_vae_train_step_exact_kernel_path(self, seq_mesh, monkeypatch):
+        """The fused SP Pallas path inside the FULL sharded optimizer step
+        (lax.cond of pallas_call, halo/CLS collectives, custom VJPs, grad
+        accumulation scan — all composed), interpret mode on the virtual
+        mesh, against the same single-device reference the XLA path
+        matches."""
+        import optax
+
+        import sparse_vae_tpu.ops.attention as attention_mod
+        from sparse_vae_tpu.parallel.spmd import make_train_step, shard_batch
+        from sparse_vae_tpu.training.optimizer import make_optimizer
+
+        monkeypatch.setattr(attention_mod, "_SP_KERNEL_INTERPRET", True)
+        model, objective, hp = _vae_setup()
+        sp_model = sp_localize(model, 4)
+        optimizer = make_optimizer(lr=1e-2, lr_decay_steps=1000,
+                                   grad_clip_threshold=5.0)
+
+        rng = jax.random.PRNGKey(31)
+        k, b, L = 1, 2, 256
+        batch = _batch(rng, k, b, L, 128)
+        params = model.init({"params": rng, "sample": rng},
+                            batch["token_ids"][0][:1])["params"]
+        opt_state = optimizer.init(params)
+
+        step_fn = make_train_step(sp_model, objective, optimizer,
+                                  mesh=seq_mesh)
+        step_rng = jax.random.PRNGKey(37)
+        p1, _, m1 = step_fn(jax.tree.map(jnp.array, params),
+                            jax.tree.map(jnp.array, opt_state),
+                            shard_batch(batch, seq_mesh, stacked=True),
+                            jnp.asarray(0), step_rng)
+
+        # Single-device reference runs the plain (non-sp) model — the
+        # kernel path must agree with it, not merely with the XLA sp path.
+        monkeypatch.setattr(attention_mod, "_SP_KERNEL_INTERPRET", False)
+        rngs_s = jax.random.split(jax.random.fold_in(step_rng, 0), k)
+        mb = {name: arr[0] for name, arr in batch.items()}
+        (loss0, _), g = jax.value_and_grad(
+            lambda p: objective.loss(model, p, mb, 0, rngs_s[0]),
+            has_aux=True)(params)
+        updates, _ = optimizer.update(g, opt_state, params)
+        p0 = optax.apply_updates(params, updates)
+
+        np.testing.assert_allclose(float(m1["loss"]), float(loss0),
+                                   rtol=1e-5)
         _tree_allclose(p1, p0, rtol=2e-4, atol=2e-6)
 
     def test_eval_step_exact(self, seq_mesh):
