@@ -1,9 +1,13 @@
 #!/usr/bin/env python
 """Trained-checkpoint generation benchmark at EQUAL generated lengths:
 ``python gen_bench.py <model> <run-name> [seq=8192] [batch=1] [full=0]
-[window=512] [modes=greedy,sampled] [draft=3] [step=<n|best>]``.
+[window=512] [modes=greedy,sampled] [draft=3] [serve=0] [step=<n|best>]``.
 ``draft=N`` adds a frontier row with suffix-match drafting (greedy modes
 only; 0 disables); ``step`` selects the checkpoint (default newest).
+``serve=N`` adds the mass-sampling serving comparison: N documents with
+natural [SEP] stops, lockstep batches vs continuous batching
+(sparse_vae_tpu/serving.py) — e.g. ``modes=none serve=4000 batch=256
+seq=512``.
 
 Round 2's trained-checkpoint AR-vs-Jacobi table compared unequal work (the
 AR run emitted [SEP] early while Jacobi converged the whole buffer —
@@ -129,6 +133,71 @@ def main(args):
                 "parallel_speedup_vs_ar": (round(t_ar / best, 3)
                                            if best else None)}
 
+    def run_serve(n):
+        """Mass sampling with NATURAL [SEP] stops (the workload the
+        reference's sample.py runs at 700k x <=512): lockstep batches — each
+        batch ends when its slowest row does — vs continuous batching
+        (sparse_vae_tpu/serving.py), which refills finished rows between
+        bounded slices. Both generate n documents from the model's own
+        length distribution; tokens/sec counts real (pre-[SEP]) tokens."""
+        import math
+
+        import numpy as np
+
+        from sparse_vae_tpu.data.tokenizer import SEP_ID
+        from sparse_vae_tpu.serving import continuous_batch_sample
+        sampling = SamplingParams()
+
+        @jax.jit
+        def sample_batch(rng):
+            return module.apply({"params": params}, rng, seq, batch,
+                                sampling=sampling, end_token=SEP_ID,
+                                method=type(module).sample)
+
+        def row_tokens(out):
+            out = np.asarray(out)
+            return np.where((out == SEP_ID).any(axis=-1),
+                            np.argmax(out == SEP_ID, axis=-1) + 1,
+                            out.shape[-1]).astype(np.int64)
+
+        # Warm both compile paths outside the timings.
+        jax.device_get(sample_batch(jax.random.PRNGKey(0)))
+        continuous_batch_sample(module, params, jax.random.PRNGKey(0),
+                                batch, seq, batch, sampling=sampling,
+                                end_token=SEP_ID, slice_steps=64)
+
+        calls = math.ceil(n / batch)
+        t0 = time.time()
+        tok_scalar = 0
+        for i in range(calls):
+            out = jax.device_get(sample_batch(jax.random.PRNGKey(100 + i)))
+            lens = row_tokens(out)
+            keep = min(batch, n - i * batch)
+            tok_scalar += int(lens[:keep].sum())
+        t_scalar = time.time() - t0
+
+        t0 = time.time()
+        docs = continuous_batch_sample(
+            module, params, jax.random.PRNGKey(200), n, seq, batch,
+            sampling=sampling, end_token=SEP_ID, slice_steps=256)
+        t_cont = time.time() - t0
+        tok_cont = int(sum(len(d) for d in docs))
+
+        row = {"mode": "serve", "docs": n, "batch": batch,
+               "scalar_s": round(t_scalar, 2),
+               "continuous_s": round(t_cont, 2),
+               "scalar_tok_per_s": round(tok_scalar / t_scalar, 1),
+               "continuous_tok_per_s": round(tok_cont / t_cont, 1),
+               "scalar_mean_len": round(tok_scalar / n, 1),
+               "continuous_mean_len": round(tok_cont / n, 1),
+               "continuous_speedup": round(
+                   (tok_cont / t_cont) / (tok_scalar / t_scalar), 3)}
+        print(f"# serve n={n} batch={batch} scalar={t_scalar:.1f}s "
+              f"({tok_scalar / t_scalar:.0f} tok/s) "
+              f"continuous={t_cont:.1f}s ({tok_cont / t_cont:.0f} tok/s) "
+              f"speedup={row['continuous_speedup']}x", file=sys.stderr)
+        return row
+
     results = []
     if "greedy" in modes:
         results.append(run_mode(
@@ -136,6 +205,9 @@ def main(args):
                            repetition_penalty=1.0), "greedy"))
     if "sampled" in modes:
         results.append(run_mode(SamplingParams(), "sampled"))
+    serve_n = int(extra.get("serve", 0))
+    if serve_n:
+        results.append(run_serve(serve_n))
     print(json.dumps({"metric": "trained_generation_equal_length",
                       "runs": results}))
 

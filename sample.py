@@ -29,6 +29,13 @@ def main(args):
     # read of the [B, V] logits per decode step instead of ~24 bisection
     # sweeps; the throughput lever at mass-sampling batch sizes.
     fused_select = extra.get("fused_select", "0") == "1"
+    # continuous=1: continuous batching (sparse_vae_tpu/serving.py) — every
+    # row decodes its own document at its own position and finished rows
+    # are refilled between bounded device slices, so utilization stays
+    # ~100% under heavy-tailed document lengths instead of waiting for each
+    # batch's slowest row.
+    continuous = extra.get("continuous", "0") == "1"
+    slice_steps = int(extra.get("slice_steps", 256))
 
     from sparse_vae_tpu import load_checkpoint_for_name
     from sparse_vae_tpu.batch_generation import batch_generate_samples
@@ -39,19 +46,28 @@ def main(args):
     params = state["params"]
     end = -1 if ignore_end else SEP_ID
 
-    import functools
+    if continuous:
+        from sparse_vae_tpu.serving import continuous_batch_sample
+        outputs = continuous_batch_sample(
+            module, params, jax.random.PRNGKey(0), num_samples, max_length,
+            batch_size, end_token=end, slice_steps=slice_steps,
+            fused_select=fused_select, progress=True)
+    else:
+        import functools
 
-    @functools.partial(jax.jit)
-    def sample_batch(rng):
-        kw = {"fused_select": True} if fused_select else {}
-        return module.apply({"params": params}, rng, max_length, batch_size,
-                            end_token=end, method=type(module).sample, **kw)
+        @functools.partial(jax.jit)
+        def sample_batch(rng):
+            kw = {"fused_select": True} if fused_select else {}
+            return module.apply({"params": params}, rng, max_length,
+                                batch_size, end_token=end,
+                                method=type(module).sample, **kw)
 
-    def sample_fn(i):
-        return sample_batch(jax.random.PRNGKey(i))
+        def sample_fn(i):
+            return sample_batch(jax.random.PRNGKey(i))
 
-    outputs = batch_generate_samples(sample_fn, num_samples, max_length,
-                                     end_token=None if ignore_end else SEP_ID)
+        outputs = batch_generate_samples(
+            sample_fn, num_samples, max_length,
+            end_token=None if ignore_end else SEP_ID)
 
     print("Saving to disk...")
     # Decode to text like the reference (sample.py:19-22); the tokenizer is

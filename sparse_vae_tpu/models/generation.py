@@ -94,6 +94,29 @@ def top_p_filter(logits, top_p: float, num_iters: int = 24):
     return jnp.where(keep, logits, -jnp.inf)
 
 
+def _select_token(logits, sample_rng, params: SamplingParams,
+                  fused: bool = False, interpret: bool = False):
+    """Shared token selection: temperature, top-k, nucleus (bisection or
+    the fused VMEM kernel), greedy. logits: [B, V] -> [B] int32."""
+    greedy = params.temperature <= 0.0 or params.top_k == 1
+    if greedy:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if fused and params.top_k == 0 and 0.0 < params.top_p < 1.0:
+        from ..ops.pallas_select import nucleus_gumbel_argmax
+        noise = jax.random.gumbel(sample_rng, logits.shape, jnp.float32)
+        return nucleus_gumbel_argmax(
+            logits.astype(jnp.float32), noise, top_p=params.top_p,
+            temperature=params.temperature, interpret=interpret)
+    logits = logits / params.temperature
+    if params.top_k > 0:
+        kth = jax.lax.top_k(logits, params.top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if params.top_p < 1.0:
+        logits = top_p_filter(logits, params.top_p)
+    return jax.random.categorical(sample_rng, logits, axis=-1
+                                  ).astype(jnp.int32)
+
+
 def process_logits(logits, state: DecodeState, params: SamplingParams,
                    end_token: int, fused: bool = False,
                    interpret: bool = False) -> DecodeState:
@@ -119,26 +142,7 @@ def process_logits(logits, state: DecodeState, params: SamplingParams,
             logits, state.tokens, state.index, params.repetition_penalty,
             params.repetition_window)
 
-    greedy = params.temperature <= 0.0 or params.top_k == 1
-    if greedy:
-        token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    elif fused and params.top_k == 0 and 0.0 < params.top_p < 1.0:
-        from ..ops.pallas_select import nucleus_gumbel_argmax
-        noise = jax.random.gumbel(sample_rng, logits.shape, jnp.float32)
-        token = nucleus_gumbel_argmax(
-            logits.astype(jnp.float32), noise, top_p=params.top_p,
-            temperature=params.temperature, interpret=interpret)
-    else:
-        logits = logits / params.temperature
-
-        if params.top_k > 0:
-            kth = jax.lax.top_k(logits, params.top_k)[0][..., -1:]
-            logits = jnp.where(logits < kth, -jnp.inf, logits)
-
-        if params.top_p < 1.0:
-            logits = top_p_filter(logits, params.top_p)
-        token = jax.random.categorical(sample_rng, logits,
-                                       axis=-1).astype(jnp.int32)
+    token = _select_token(logits, sample_rng, params, fused, interpret)
 
     # Finished samples write [PAD] (the reference wrote nothing; pos stays 0)
     token = jnp.where(state.live, token, 0)
@@ -160,6 +164,105 @@ def should_continue(state: DecodeState) -> jax.Array:
 def final_output(state: DecodeState) -> jax.Array:
     """Strip the start token (generation.py:82-83)."""
     return state.tokens[:, 1:]
+
+
+# -- per-row decoding (continuous batching) ----------------------------------
+#
+# The scalar-index DecodeState above moves the whole batch in lockstep — the
+# batch finishes when its SLOWEST row does, so at mass-sampling batch sizes
+# (the reference's 700k x <=512 workload, sample.py:16-17) most rows idle as
+# masked [PAD] writers while the stragglers finish. The row-wise state gives
+# every row its own position: finished rows freeze, and a host loop harvests
+# them between bounded device slices and refills the row with a fresh
+# document (sparse_vae_tpu/serving.py) — the TPU-static realization of the
+# reference's live-sample compaction (generation.py:74-77) that also keeps
+# utilization at ~100% for heavy-tailed document lengths.
+
+
+class RowDecodeState(NamedTuple):
+    tokens: jax.Array   # [B, max_len] int32 per-row output buffer
+    index: jax.Array    # [B] int32 — each row's next position to write
+    live: jax.Array     # [B] bool — frozen rows await host harvest/refill
+    rng: jax.Array
+
+
+def init_row_decode_state(batch_size: int, max_length: int, start_token: int,
+                          rng) -> RowDecodeState:
+    tokens = jnp.zeros((batch_size, max_length), jnp.int32)
+    tokens = tokens.at[:, 0].set(start_token)
+    return RowDecodeState(tokens=tokens,
+                          index=jnp.ones(batch_size, jnp.int32),
+                          live=jnp.ones(batch_size, bool), rng=rng)
+
+
+def prev_tokens_rowwise(state: RowDecodeState) -> jax.Array:
+    """[B] token each row generated last (at its own index - 1)."""
+    return jnp.take_along_axis(state.tokens, (state.index - 1)[:, None],
+                               axis=1)[:, 0]
+
+
+def apply_repetition_penalty_rowwise(logits, tokens, index, penalty: float,
+                                     window: int):
+    """Per-row variant of apply_repetition_penalty: each row's lookback
+    window ends at ITS index (a [B, window] gather instead of one dynamic
+    slice)."""
+    max_len = tokens.shape[-1]
+    window = min(window, max_len)
+    starts = jnp.clip(index - window, 0, max_len - window)      # [B]
+    cols = starts[:, None] + jnp.arange(window)[None, :]        # [B, W]
+    prev = jnp.take_along_axis(tokens, cols, axis=1)
+    prev_logits = jnp.take_along_axis(logits, prev, axis=-1)
+    penalized = jnp.where(prev_logits < 0.0, prev_logits * penalty,
+                          prev_logits / penalty)
+    return jnp.put_along_axis(logits, prev, penalized, axis=-1,
+                              inplace=False)
+
+
+def process_logits_rowwise(logits, state: RowDecodeState,
+                           params: SamplingParams, end_token: int,
+                           fused: bool = False,
+                           interpret: bool = False) -> RowDecodeState:
+    """Per-row process_logits: write at each row's own index, advance only
+    live rows (finished rows freeze in place for the host to harvest)."""
+    rng, sample_rng = jax.random.split(state.rng)
+    if params.repetition_penalty > 1.0:
+        logits = apply_repetition_penalty_rowwise(
+            logits, state.tokens, state.index, params.repetition_penalty,
+            params.repetition_window)
+    token = _select_token(logits, sample_rng, params, fused, interpret)
+    token = jnp.where(state.live, token, 0)
+
+    b = state.tokens.shape[0]
+    max_len = state.tokens.shape[-1]
+    tokens = state.tokens.at[jnp.arange(b), state.index].set(token)
+    index = state.index + state.live.astype(jnp.int32)
+    # max_len - 1: the scalar loop (should_continue) never writes the final
+    # buffer position either — keeps row-wise documents identical to it.
+    live = state.live & (token != end_token) & (index < max_len - 1)
+    return RowDecodeState(tokens=tokens, index=index, live=live, rng=rng)
+
+
+def decode_loop_rowwise(state: RowDecodeState, logits_fn, carry,
+                        params: SamplingParams, end_token: int,
+                        max_steps: int, fused_select: bool = False,
+                        interpret: bool = False):
+    """Bounded per-row decode slice: at most `max_steps` tokens per live
+    row, one device computation. Returns the (resumable) state and carry —
+    the continuous-batching host loop harvests/refills between slices."""
+    def cond(loop):
+        st, _, steps = loop
+        return jnp.any(st.live) & (steps < max_steps)
+
+    def body(loop):
+        st, cr, steps = loop
+        logits, cr = logits_fn(st, cr)
+        st = process_logits_rowwise(logits, st, params, end_token,
+                                    fused=fused_select, interpret=interpret)
+        return st, cr, steps + 1
+
+    state, carry, _ = jax.lax.while_loop(
+        cond, body, (state, carry, jnp.asarray(0, jnp.int32)))
+    return state, carry
 
 
 def decode_loop(state: DecodeState, logits_fn, carry, params: SamplingParams,

@@ -129,5 +129,12 @@ class TransformerLayer(nn.Module):
         x = x_t + y
         return self._ffn(x, True), cache
 
+    def decode_rowwise(self, x_t, cache, index):
+        """One-token step at PER-ROW positions (continuous batching)."""
+        y = self.attn_layer_norm(x_t)
+        y, cache = self.attention.decode_rowwise(y, cache, index)
+        x = x_t + y
+        return self._ffn(x, True), cache
+
     def init_cache(self, batch_size: int, max_length: int):
         return self.attention.init_cache(batch_size, max_length)

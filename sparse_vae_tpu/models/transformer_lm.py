@@ -351,6 +351,16 @@ class TransformerLanguageModel(nn.Module):
             new_caches.append(cache)
         return self.project(x[:, 0]), new_caches
 
+    def decode_step_rowwise(self, token, caches, index):
+        """decode_step with PER-ROW positions (index: [B] int32) — the
+        continuous-batching step (serving.py)."""
+        x = self.embed(token[:, None])
+        new_caches = []
+        for layer, cache in zip(self.decoder_layers, caches):
+            x, cache = layer.decode_rowwise(x, cache, index)
+            new_caches.append(cache)
+        return self.project(x[:, 0]), new_caches
+
     def sample(self, rng, max_length: int, batch_size: int = 1,
                sampling: SamplingParams = SamplingParams(),
                start_token: int = 1, end_token: int = 2,

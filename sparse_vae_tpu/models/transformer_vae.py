@@ -142,6 +142,22 @@ class TransformerVAE(TransformerLanguageModel):
             new_caches.append(cache)
         return self.project(x[:, 0]), new_caches
 
+    def decode_step_z_rowwise(self, token, caches, index, z):
+        """decode_step_z with PER-ROW positions: rows at position 0 get
+        their z projection as the layer input (each row carries its OWN
+        document's z — continuous batching refills it per document)."""
+        x = self.embed(token[:, None])
+        first = (index == 0)[:, None, None]
+        new_caches = []
+        for i, (layer, cache) in enumerate(zip(self.decoder_layers, caches)):
+            zh = jnp.broadcast_to(
+                self.z_projections[i](z.astype(self.dtype)),
+                (x.shape[0], 1, x.shape[-1]))
+            x = jnp.where(first, zh, x)
+            x, cache = layer.decode_rowwise(x, cache, index)
+            new_caches.append(cache)
+        return self.project(x[:, 0]), new_caches
+
     def sample(self, rng, max_length: int, batch_size: int = 1, z=None,
                sampling: SamplingParams = SamplingParams(),
                start_token: int = 1, end_token: int = 2,

@@ -565,6 +565,72 @@ class Attention(nn.Module):
                  "k_cls": k_cls, "v_cls": v_cls}
         return self._finalize(out), cache
 
+    def decode_rowwise(self, x_t, cache, index):
+        """One-token attention with PER-ROW positions: index [B] int32 is
+        the absolute position each row is writing (continuous batching —
+        rows decode different documents at different offsets; see
+        generation.RowDecodeState / serving.py). Semantics per row equal
+        `decode` at that row's index (tested); cache writes are scatters
+        (only [B, H, Dh] elements touched per step), so the cost matches
+        the scalar path."""
+        q = apply_rotary(split_heads(self.q_linear(x_t), self.local_heads),
+                         self.rotary_base, offset=index)
+        k_t = apply_rotary(split_heads(self.k_linear(x_t), self.local_heads),
+                           self.rotary_base, offset=index)
+        v_t = split_heads(self.v_linear(x_t), self.local_heads)
+
+        rows = jnp.arange(x_t.shape[0])
+        if "k_ring" in cache:
+            bs, w = self.block_size, self.window_size
+            ring_len = w * bs
+            dt = cache["k_ring"].dtype
+            ring_idx = index % ring_len
+            k_ring = cache["k_ring"].at[rows, :, ring_idx].set(
+                k_t[:, :, 0].astype(dt))
+            v_ring = cache["v_ring"].at[rows, :, ring_idx].set(
+                v_t[:, :, 0].astype(dt))
+            # Positions < block_size also enter the CLS store; others are
+            # routed out of bounds and dropped.
+            cls_pos = jnp.where(index < bs, index, bs)
+            k_cls = cache["k_cls"].at[rows, :, cls_pos].set(
+                k_t[:, :, 0].astype(dt), mode="drop")
+            v_cls = cache["v_cls"].at[rows, :, cls_pos].set(
+                v_t[:, :, 0].astype(dt), mode="drop")
+
+            # Per-row ring validity: same slot->block math as _decode_ring,
+            # vectorized over rows. Correct across a row RESET (refill):
+            # the new document rewrites positions 0.. sequentially, so every
+            # slot the mask admits has been overwritten by the current doc.
+            qb = index // bs                                       # [B]
+            j = jnp.arange(ring_len)
+            slot, offs = j // bs, j % bs
+            b_s = qb[:, None] - ((qb[:, None] % w - slot[None, :]) % w)
+            pos = b_s * bs + offs[None, :]
+            ring_valid = (pos <= index[:, None]) & (b_s >= 0)
+            cls_valid = jnp.broadcast_to((qb >= w)[:, None],
+                                         (x_t.shape[0], bs))
+            valid = jnp.concatenate([cls_valid, ring_valid], axis=1)
+
+            k_all = jnp.concatenate([k_cls, k_ring], axis=2)
+            v_all = jnp.concatenate([v_cls, v_ring], axis=2)
+            out = dense_attention(q, k_all, v_all, valid[:, None, None, :])
+            cache = {"k_ring": k_ring, "v_ring": v_ring,
+                     "k_cls": k_cls, "v_cls": v_cls}
+            return self._finalize(out), cache
+
+        dt = cache["k"].dtype
+        k = cache["k"].at[rows, :, index].set(k_t[:, :, 0].astype(dt))
+        v = cache["v"].at[rows, :, index].set(v_t[:, :, 0].astype(dt))
+        positions = jnp.arange(k.shape[2])
+        valid = positions[None, :] <= index[:, None]               # [B, K]
+        if self.sparse:
+            qb = index // self.block_size
+            kb = positions // self.block_size
+            valid = valid & ((kb[None, :] > (qb[:, None] - self.window_size))
+                             | (kb[None, :] == 0))
+        out = dense_attention(q, k, v, valid[:, None, None, :])
+        return self._finalize(out), {"k": k, "v": v}
+
     def decode(self, x_t, cache, index):
         """One-token attention (x_t: [B, 1, D]) against a KV cache.
 

@@ -31,9 +31,23 @@ def apply_rotary(x, max_pos: float = 10_000.0, offset=0):
 
     x: [..., L, D] with D even (per head). For pair (x0, x1):
     out = (x0 cos - x1 sin, x1 cos + x0 sin) — attention.py:199-208.
+
+    offset may be a scalar (whole batch at one position — the classic decode
+    case) or a [B] array of PER-ROW positions with x of shape [B, H, L, D]
+    (continuous-batching decode, where every row sits at its own index).
     """
     d_half = x.shape[-1] // 2
-    angles = rotary_angles(x.shape[-2], d_half, max_pos, offset, jnp.float32)
+    if jnp.ndim(offset) == 1:
+        assert x.ndim == 4, "per-row offsets need [B, H, L, D] inputs"
+        freqs = jnp.arange(d_half, dtype=jnp.float32)
+        theta = max_pos ** (-freqs / d_half)
+        positions = (jnp.arange(x.shape[-2], dtype=jnp.float32)[None, :]
+                     + offset[:, None].astype(jnp.float32))    # [B, L]
+        angles = positions[..., None] * theta                  # [B, L, half]
+        angles = angles[:, None]                               # [B, 1, L, .]
+    else:
+        angles = rotary_angles(x.shape[-2], d_half, max_pos, offset,
+                               jnp.float32)
     cos = jnp.cos(angles).astype(x.dtype)
     sin = jnp.sin(angles).astype(x.dtype)
 
