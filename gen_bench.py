@@ -156,15 +156,23 @@ def main(args):
 
         def row_tokens(out):
             out = np.asarray(out)
+            # A row that never emits [SEP] carries seq-2 real tokens: the
+            # scalar loop's final buffer position is never written (PAD) —
+            # counting it would credit the lockstep path one phantom token
+            # per capped document.
             return np.where((out == SEP_ID).any(axis=-1),
                             np.argmax(out == SEP_ID, axis=-1) + 1,
-                            out.shape[-1]).astype(np.int64)
+                            out.shape[-1] - 1).astype(np.int64)
 
-        # Warm both compile paths outside the timings.
+        # Warm both compile paths outside the timings. slice_steps MUST
+        # match the timed run: it is baked into the while_loop trace and
+        # keys the compiled-slice cache, so a different value compiles an
+        # executable the timed run can never reuse.
+        serve_slice = 256
         jax.device_get(sample_batch(jax.random.PRNGKey(0)))
         continuous_batch_sample(module, params, jax.random.PRNGKey(0),
                                 batch, seq, batch, sampling=sampling,
-                                end_token=SEP_ID, slice_steps=64)
+                                end_token=SEP_ID, slice_steps=serve_slice)
 
         calls = math.ceil(n / batch)
         t0 = time.time()
@@ -179,7 +187,7 @@ def main(args):
         t0 = time.time()
         docs = continuous_batch_sample(
             module, params, jax.random.PRNGKey(200), n, seq, batch,
-            sampling=sampling, end_token=SEP_ID, slice_steps=256)
+            sampling=sampling, end_token=SEP_ID, slice_steps=serve_slice)
         t_cont = time.time() - t0
         tok_cont = int(sum(len(d) for d in docs))
 

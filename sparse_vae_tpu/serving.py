@@ -26,8 +26,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-import functools
-
 from .models.generation import (RowDecodeState, SamplingParams,
                                 decode_loop_rowwise, init_row_decode_state,
                                 prev_tokens_rowwise)
@@ -48,7 +46,12 @@ def _get_slice_fn(module, is_vae: bool, sampling: SamplingParams,
     if key in _SLICE_CACHE:
         return _SLICE_CACHE[key]
 
-    @jax.jit
+    # state/caches are donated: the host only ever consumes the RETURNED
+    # state (refills build fresh arrays), so the inputs' buffers are free —
+    # without donation every slice would copy all KV caches.
+    import functools as _ft
+
+    @_ft.partial(jax.jit, donate_argnums=(1, 2))
     def slice_fn(params, state, caches, z):
         def logits_fn(st: RowDecodeState, caches):
             prev = prev_tokens_rowwise(st)
