@@ -92,6 +92,11 @@ def continuous_batch_sample(module, params, rng, num_samples: int,
     stripped; the end token kept when emitted), in document order.
     """
     is_vae = hasattr(type(module), "decode_step_z_rowwise")
+    if not is_vae and not hasattr(type(module), "decode_step_rowwise"):
+        raise ValueError(
+            f"{type(module).__name__} has no row-wise decode step — "
+            "continuous batching supports the transformer families; LSTM "
+            "models use the lockstep sample loop")
     latent = getattr(module.hparams, "latent_depth", 0)
     rng, z_rng, d_rng = jax.random.split(rng, 3)
 
