@@ -110,12 +110,16 @@ class VAEObjective:
         the sharded loss and gradient exactly the global token/row-weighted
         ones no matter how unevenly real tokens spread over shards."""
         drop_rng, sample_rng, mi_rng = jax.random.split(rng, 3)
-        if getattr(module.hparams, "sp_size", 1) > 1:
-            # Per-shard dropout streams (shards hold different token
-            # slices); the 'sample' stream must NOT fold — z has to be
-            # identical on every sequence shard.
-            drop_rng = jax.random.fold_in(drop_rng,
-                                          jax.lax.axis_index("seq"))
+        # NOTE: the VAE training forwards run with deterministic=True (their
+        # default) — dropout is OFF, matching every trained quality number
+        # in BASELINE.md (a deliberate deviation from the reference's 0.1).
+        # If dropout is ever enabled here, do NOT fold drop_rng by the 'seq'
+        # index the way ARObjective does: the Perceiver's latent compute is
+        # REPLICATED across sequence shards, and per-shard masks would
+        # de-replicate the posterior/z that the sp gradient assembly (and
+        # the shard-0 KL masking) assume identical on every shard. Identical
+        # masks across shards are the correct (if position-correlated)
+        # choice for this model family.
         rngs = {"dropout": drop_rng, "sample": sample_rng}
         if getattr(self.hp, "train_mc_samples", 1) > 1:
             if getattr(self.hp, "free_bits", 0.0) > 0.0:

@@ -244,21 +244,31 @@ class Attention(nn.Module):
                 f"(sparse={self.sparse}, causal={self.causal}) would psum "
                 "partials of SHARDED queries — keep sp_size=1 for it")
         bs, ws = self.block_size, self.window_size
-        ctx = ws * bs
+        from ..parallel.sp import halo_blocks
+        ctx = halo_blocks(ws) * bs   # the oldest window block of a halo is
+        #                              never attended — ship window-1 blocks
         if S % bs != 0:
             raise ValueError(f"shard length {S} not a multiple of the "
                              f"attention block size {bs}")
-        if S < ctx:
+        if S < ws * bs:
             raise ValueError(
-                f"shard length {S} must cover the window band "
-                f"({ws} x {bs} = {ctx} tokens) so one left-neighbor halo "
-                "suffices — use fewer 'seq' shards or a smaller window")
+                f"shard length {S} must cover the window span "
+                f"({ws} x {bs} tokens): one left-neighbor halo must "
+                "suffice, and the fused kernel path assumes block 0 is "
+                "behind every non-first shard's band — use fewer 'seq' "
+                "shards or a smaller window")
         q, k, v = self._project(x_q, x_kv, pos_offset=start,
                                 k_pos_offset=start)
         q, k, v = (split_heads(t, self.local_heads) for t in (q, k, v))
         q = checkpoint_name(q, "attn_qkv")
-        halo_k = halo_from_left(k[:, :, -ctx:], self.sp_size, self.sp_axis)
-        halo_v = halo_from_left(v[:, :, -ctx:], self.sp_size, self.sp_axis)
+        if ctx:
+            halo_k = halo_from_left(k[:, :, -ctx:], self.sp_size,
+                                    self.sp_axis)
+            halo_v = halo_from_left(v[:, :, -ctx:], self.sp_size,
+                                    self.sp_axis)
+        else:  # window_size == 1: diagonal-only band, no halo at all
+            halo_k = k[:, :, :0]
+            halo_v = v[:, :, :0]
         zeros = jnp.zeros_like(k[:, :, :bs])
         cls_k = sum_over_shards(
             jnp.where(idx == 0, k[:, :, :bs], zeros), self.sp_axis)
@@ -279,7 +289,8 @@ class Attention(nn.Module):
             # differentiated, so the custom VJPs are inert here) — the mask
             # halo can never drift from the K/V halo convention.
             m = kv_mask.astype(jnp.int32)
-            halo_m = halo_from_left(m[:, -ctx:], self.sp_size, self.sp_axis)
+            halo_m = (halo_from_left(m[:, -ctx:], self.sp_size, self.sp_axis)
+                      if ctx else m[:, :0])
             kv_mask_ext = jnp.concatenate([halo_m, m], axis=1) > 0
             cls_mask = sum_over_shards(
                 jnp.where(idx == 0, m[:, :bs], 0), self.sp_axis) > 0

@@ -518,10 +518,12 @@ sliding_window_attention_pallas.defvjp(_fwd, _bwd)
 #
 # Each 'seq' shard holds S query tokens at absolute positions start..start+S-1
 # and extended keys [halo | local] covering start-ctx..start+S-1 (ctx =
-# window*block). The SAME band kernels run with q_off=window (query block i
-# sits at key block i+window), include_cls=False; the [CLS] block — a
-# separate psum-broadcast tensor — is attended by every query on shards > 0
-# (start>=ctx>=window blocks guarantees it is beyond the band) as one small
+# (window-1)*block — the oldest block of a window-wide halo is never inside
+# any local query's band, so it is not shipped; parallel.sp.halo_blocks). The
+# SAME band kernels run with q_off=window-1 (query block i sits at key block
+# i+window-1), include_cls=False; the [CLS] block — a separate psum-broadcast
+# tensor — is attended by every query on shards > 0
+# (start >= window blocks guarantees it is beyond the band) as one small
 # XLA attention merged flash-style: forward combines (out, lse) pieces by
 # logaddexp; backward feeds the JOINT lse and total output into the band
 # kernels (p = exp(s - lse_joint) is the exact partial probability, so the
@@ -550,7 +552,8 @@ def _cls_attend(q, cls_k, cls_v, cls_len):
 
 def _sp_fwd_impl(q, k_ext, v_ext, cls_k, cls_v, start, ext_len, cls_len,
                  window_size, block_size, interpret):
-    ctx = window_size * block_size
+    hb = window_size - 1         # halo blocks (parallel.sp.halo_blocks)
+    ctx = hb * block_size
 
     def square(_):
         out, lse, _ = _sliding_window_attention_fwd_pallas(
@@ -563,7 +566,7 @@ def _sp_fwd_impl(q, k_ext, v_ext, cls_k, cls_v, start, ext_len, cls_len,
         out_b, lse_b, _ = _sliding_window_attention_fwd_pallas(
             q, k_ext, v_ext, None, window_size=window_size,
             block_size=block_size, causal=True, include_cls=False,
-            interpret=interpret, lengths=ext_len, q_off=window_size)
+            interpret=interpret, lengths=ext_len, q_off=hb)
         o_c, lse_c = _cls_attend(q, cls_k, cls_v, cls_len)
         lse_t = jnp.logaddexp(lse_b, lse_c)
         w_b = jnp.exp(lse_b - lse_t)[..., None]
@@ -582,8 +585,9 @@ def sp_windowed_attention_pallas(q, k_ext, v_ext, cls_k, cls_v, start,
 
     q: [B, H, S, D] at absolute positions start..start+S-1 (start traced,
     block-multiple, >= S on every shard but 0); k_ext/v_ext:
-    [B, H, ctx+S, D] at positions start-ctx.. (leading ctx rows = the left
-    halo); cls_k/cls_v: [B, H, block, D] global block 0. ext_len: [B] valid
+    [B, H, ctx+S, D] at positions start-ctx.. where ctx =
+    (window_size-1)*block_size (leading ctx rows = the left halo);
+    cls_k/cls_v: [B, H, block, D] global block 0. ext_len: [B] valid
     EXTENDED-key prefix per row (on shard 0 this is the LOCAL prefix — its
     halo rows are all invalid); cls_len: [B] valid CLS prefix. Semantics ==
     parallel.sp.windowed_attention_ctx (the blocked-XLA oracle, tested)."""
@@ -602,7 +606,8 @@ def _sp_fwd(q, k_ext, v_ext, cls_k, cls_v, start, ext_len, cls_len,
 
 def _sp_bwd(window_size, block_size, interpret, res, g):
     (q, k_ext, v_ext, cls_k, cls_v, start, ext_len, cls_len, out, lse) = res
-    ctx = window_size * block_size
+    hb = window_size - 1
+    ctx = hb * block_size
 
     def square(_):
         dq, dk, dv = _bwd_pallas(
@@ -620,7 +625,7 @@ def _sp_bwd(window_size, block_size, interpret, res, g):
         dq, dk_ext, dv_ext = _bwd_pallas(
             q, k_ext, v_ext, ext_len, lse, out, g,
             window_size=window_size, block_size=block_size, causal=True,
-            include_cls=False, interpret=interpret, q_off=window_size)
+            include_cls=False, interpret=interpret, q_off=hb)
         # CLS term with JOINT normalization (lse is the merged logsumexp).
         d = q.shape[-1]
         scale = d ** -0.5

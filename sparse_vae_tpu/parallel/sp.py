@@ -122,6 +122,14 @@ def sp_shifted_labels(token_ids, sp_size: int, axis_name: str = SEQ_AXIS):
 
 
 # -- attention compute --------------------------------------------------------
+def halo_blocks(window_size: int) -> int:
+    """Blocks of left-neighbor K/V a shard needs: the band of a shard's
+    FIRST query block covers global blocks qb-window+1..qb, i.e. the
+    window_size-1 blocks before the shard (the oldest would-be halo block
+    is never attended by any local query)."""
+    return window_size - 1
+
+
 def windowed_attention_ctx(q, k_ext, v_ext, cls_k, cls_v, start,
                            kv_mask_ext=None, cls_mask=None, *,
                            window_size: int, block_size: int):
@@ -130,11 +138,11 @@ def windowed_attention_ctx(q, k_ext, v_ext, cls_k, cls_v, start,
     q: [B, H, S, D] queries at absolute positions start..start+S-1 (start is
     a block multiple; traced int is fine). k_ext/v_ext: [B, H, ctx+S, D] keys
     at absolute positions start-ctx..start+S-1 where ctx =
-    window_size*block_size (the leading ctx rows are the left-neighbor halo;
-    entries at absolute positions < 0 are garbage and masked by block
-    validity). cls_k/cls_v: [B, H, block_size, D] = the global block 0.
-    kv_mask_ext: [B, ctx+S] bool key-padding for k_ext; cls_mask: [B,
-    block_size] for the CLS block.
+    halo_blocks(window_size)*block_size (the leading ctx rows are the
+    left-neighbor halo; entries at absolute positions < 0 are garbage and
+    masked by block validity). cls_k/cls_v: [B, H, block_size, D] = the
+    global block 0. kv_mask_ext: [B, ctx+S] bool key-padding for k_ext;
+    cls_mask: [B, block_size] for the CLS block.
 
     Semantics equal ops.attention.sliding_window_token_mask on the global
     sequence, restricted to this shard's query rows (tested): query block qb
@@ -144,15 +152,16 @@ def windowed_attention_ctx(q, k_ext, v_ext, cls_k, cls_v, start,
     """
     b, h, S, d = q.shape
     ws, bs = window_size, block_size
+    hb = halo_blocks(ws)
     assert S % bs == 0, (S, bs)
     nb = S // bs
-    assert k_ext.shape[2] == ws * bs + S, (k_ext.shape, ws, bs, S)
+    assert k_ext.shape[2] == hb * bs + S, (k_ext.shape, ws, bs, S)
 
-    kb = k_ext.reshape(b, h, nb + ws, bs, d)
-    vb = v_ext.reshape(b, h, nb + ws, bs, d)
-    # Local query block i sits at ext block i+ws; its band is ext blocks
-    # i+1..i+ws (global key blocks qb-ws+1..qb).
-    band_idx = jnp.arange(nb)[:, None] + jnp.arange(1, ws + 1)[None, :]
+    kb = k_ext.reshape(b, h, nb + hb, bs, d)
+    vb = v_ext.reshape(b, h, nb + hb, bs, d)
+    # Local query block i sits at ext block i+hb; its band is ext blocks
+    # i..i+ws-1 (global key blocks qb-ws+1..qb) — every halo block is used.
+    band_idx = jnp.arange(nb)[:, None] + jnp.arange(ws)[None, :]
     k_band = jnp.take(kb, band_idx.reshape(-1), axis=2).reshape(
         b, h, nb, ws, bs, d)
     v_band = jnp.take(vb, band_idx.reshape(-1), axis=2).reshape(
@@ -171,7 +180,7 @@ def windowed_attention_ctx(q, k_ext, v_ext, cls_k, cls_v, start,
 
     start_b = start // bs
     qb_global = start_b + jnp.arange(nb)                    # [nb]
-    g = qb_global[:, None] + jnp.arange(1, ws + 1)[None, :] - ws  # [nb, ws]
+    g = qb_global[:, None] + jnp.arange(ws)[None, :] - hb   # [nb, ws]
     slot_ok = jnp.concatenate(
         [(qb_global >= ws)[:, None], g >= 0], axis=1)       # [nb, s]
     mask = jnp.broadcast_to(slot_ok[:, None, :, None], (nb, bs, s, bs))
@@ -182,7 +191,7 @@ def windowed_attention_ctx(q, k_ext, v_ext, cls_k, cls_v, start,
                             tri[None, :, None, :], True)
     full = mask[None, None]                                 # [1,1,nb,bs,s,bs]
     if kv_mask_ext is not None:
-        pm = kv_mask_ext.reshape(b, nb + ws, bs)
+        pm = kv_mask_ext.reshape(b, nb + hb, bs)
         pm_band = jnp.take(pm, band_idx.reshape(-1), axis=1).reshape(
             b, nb, ws, bs)
         pm_all = jnp.concatenate(

@@ -55,17 +55,6 @@ def batch_specs(mesh: Mesh, stacked: bool = False) -> dict:
     return {"token_ids": tok, "num_tokens": row, "num_bytes": row}
 
 
-def stacked_batch_spec(mesh: Mesh) -> NamedSharding:
-    """Sharding for stacked train batches [k_accum, rows, ...]: rows (axis 1)
-    sharded over 'data'."""
-    return NamedSharding(mesh, P(None, DATA_AXIS))
-
-
-def batch_spec(mesh: Mesh) -> NamedSharding:
-    """Sharding for unstacked eval batches [rows, ...]."""
-    return NamedSharding(mesh, P(DATA_AXIS))
-
-
 def shard_batch(batch: dict, mesh: Mesh, stacked: bool = False) -> dict:
     """Place a host batch dict on the mesh (rows on 'data', token length on
     'seq' when the mesh has one)."""
@@ -165,6 +154,22 @@ def assert_compose_loss_linear(objective, sums, counts, step, atol=1e-5):
                                    "wrong (see assert_compose_loss_linear)")
 
 
+def _seq_setup(module, objective, mesh: Optional[Mesh]):
+    """Shared 'seq'-axis wiring for the train and eval steps: validates the
+    sp-localized module, wraps the objective so per-ROW statistics are
+    contributed once, and returns the reduction axes."""
+    sp = seq_size(mesh)
+    if sp > 1:
+        if getattr(module.hparams, "sp_size", 1) != sp:
+            raise ValueError(
+                f"mesh has seq={sp} but the module's sp_size is "
+                f"{getattr(module.hparams, 'sp_size', 1)} — pass the "
+                "sp_localize'd twin (parallel/sp.py)")
+        objective = _SeqOnceObjective(objective)
+    red_axes = (DATA_AXIS, SEQ_AXIS) if sp > 1 else (DATA_AXIS,)
+    return objective, red_axes
+
+
 def make_train_step(module, objective, optimizer,
                     mesh: Optional[Mesh] = None):
     """Build the jitted optimizer step.
@@ -202,17 +207,9 @@ def make_train_step(module, objective, optimizer,
         tp_sv = shards_vocab(module.hparams, tp_size)
     else:
         tp_sv = False
-    sp = seq_size(mesh)
-    if sp > 1:
-        if getattr(module.hparams, "sp_size", 1) != sp:
-            raise ValueError(
-                f"mesh has seq={sp} but the module's sp_size is "
-                f"{getattr(module.hparams, 'sp_size', 1)} — pass the "
-                "sp_localize'd twin (parallel/sp.py)")
-        objective = _SeqOnceObjective(objective)
     # The loss-sum / gradient reduction axes: 'data' always; 'seq' too when
     # the length axis is sharded (each shard's sums/grads cover its tokens).
-    red_axes = (DATA_AXIS, SEQ_AXIS) if sp > 1 else (DATA_AXIS,)
+    objective, red_axes = _seq_setup(module, objective, mesh)
 
     def micro_grads(params, mb, step, rng):
         if mesh is None:
@@ -325,15 +322,7 @@ def make_eval_step(module, objective, mesh: Optional[Mesh] = None):
         tp_sv = shards_vocab(module.hparams, tp_size)
     else:
         tp_sv = False
-    sp = seq_size(mesh)
-    if sp > 1:
-        if getattr(module.hparams, "sp_size", 1) != sp:
-            raise ValueError(
-                f"mesh has seq={sp} but the module's sp_size is "
-                f"{getattr(module.hparams, 'sp_size', 1)} — pass the "
-                "sp_localize'd twin (parallel/sp.py)")
-        objective = _SeqOnceObjective(objective)
-    red_axes = (DATA_AXIS, SEQ_AXIS) if sp > 1 else (DATA_AXIS,)
+    objective, red_axes = _seq_setup(module, objective, mesh)
 
     def core(params, batch, rng):
         stats = objective.eval_stats(module, params, batch, rng)

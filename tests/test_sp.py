@@ -20,7 +20,8 @@ import pytest
 from sparse_vae_tpu.ops.attention import (dense_attention,
                                           sliding_window_token_mask)
 from sparse_vae_tpu.parallel.mesh import create_mesh
-from sparse_vae_tpu.parallel.sp import (seq_parallel_cross_attention,
+from sparse_vae_tpu.parallel.sp import (halo_blocks,
+                                        seq_parallel_cross_attention,
                                         sp_localize, sp_shifted_labels,
                                         windowed_attention_ctx)
 
@@ -49,13 +50,16 @@ class TestWindowedAttentionCtx:
     """The per-shard blocked compute, no mesh: manually sliced halo/CLS
     inputs must reproduce the full-sequence masked oracle's rows."""
 
-    @pytest.mark.parametrize("use_mask", [False, True])
-    def test_matches_full_oracle(self, use_mask):
-        bs, ws, n_shards = 16, 2, 4
+    @pytest.mark.parametrize("use_mask,ws", [(False, 2), (True, 2),
+                                             (False, 1), (True, 3)])
+    def test_matches_full_oracle(self, use_mask, ws):
+        """ws=1 is the zero-halo edge (diagonal-only band); ws=3 checks the
+        halo really carries window-1 blocks, not window."""
+        bs, n_shards = 16, 4
         B, H, D = 2, 2, 8
         S = 64
         L = S * n_shards
-        ctx = ws * bs
+        ctx = halo_blocks(ws) * bs
         rng = jax.random.PRNGKey(0)
         kq, kk, kv, km = jax.random.split(rng, 4)
         q = jax.random.normal(kq, (B, H, L, D))
@@ -99,7 +103,7 @@ class TestSpPallasKernel:
     start==0 cond, with and without padding."""
 
     def _inputs(self, seed, B=2, H=2, S=64, D=8, bs=16, ws=2, pad=False):
-        ctx = ws * bs
+        ctx = halo_blocks(ws) * bs
         rng = jax.random.PRNGKey(seed)
         ks = jax.random.split(rng, 6)
         q = jax.random.normal(ks[0], (B, H, S, D))
@@ -115,15 +119,16 @@ class TestSpPallasKernel:
             cls_len = jnp.full((B,), bs, jnp.int32)
         return q, k_ext, v_ext, cls_k, cls_v, ext_len, cls_len, bs, ws
 
-    @pytest.mark.parametrize("start_blocks,pad", [(0, False), (8, False),
-                                                  (8, True), (4, True)])
-    def test_matches_oracle_and_grads(self, start_blocks, pad):
+    @pytest.mark.parametrize("start_blocks,pad,ws", [
+        (0, False, 2), (8, False, 2), (8, True, 2), (4, True, 2),
+        (8, False, 1), (8, False, 3)])
+    def test_matches_oracle_and_grads(self, start_blocks, pad, ws):
         from sparse_vae_tpu.ops.pallas_kernels import \
             sp_windowed_attention_pallas
 
         (q, k_ext, v_ext, cls_k, cls_v, ext_len, cls_len,
-         bs, ws) = self._inputs(start_blocks + 17, pad=pad)
-        ctx = ws * bs
+         bs, ws) = self._inputs(start_blocks + 17, pad=pad, ws=ws)
+        ctx = halo_blocks(ws) * bs
         start = jnp.asarray(start_blocks * bs)
         if start_blocks == 0:
             # shard 0: halo rows are invalid — ext_len counts LOCAL keys.
