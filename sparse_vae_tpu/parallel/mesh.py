@@ -45,21 +45,37 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
 def create_mesh(num_devices: Optional[int] = None,
                 model_axis: int = 1,
                 devices: Optional[Sequence] = None,
-                seq_axis: int = 1) -> Mesh:
+                seq_axis: int = 1,
+                pipe_axis: int = 1) -> Mesh:
     """(data[, seq], model) mesh over the available devices.
 
     model_axis=1 => pure data parallelism (the default; the reference models
     are small enough that DP is the right first axis, SURVEY §2.10).
     seq_axis>1 adds a 'seq' axis for sequence parallelism (parallel/sp.py)
-    — the scaling axis for the pg19 batch-1 long-document regime. Adjacent
-    'seq' coordinates land on adjacent devices so the halo ppermute rides
-    nearest-neighbor ICI links.
+    — the scaling axis for the pg19 batch-1 long-document regime. With
+    model_axis == 1, adjacent 'seq' coordinates land on adjacent devices so
+    the halo ppermute rides nearest-neighbor ICI links; when both axes are
+    > 1, 'model' stays innermost on purpose — the per-layer TP all-reduces
+    move far more bytes than the fixed-size halos, so they get the
+    nearest-neighbor links.
+    pipe_axis>1 adds a 'pipe' axis for pipeline parallelism (parallel/pp.py)
+    — innermost, so each stage's activation hand-off (one ppermute per
+    pipeline tick) also rides nearest-neighbor links. pp currently composes
+    with 'data' only.
     """
     devices = list(devices) if devices is not None else jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
     n = len(devices)
-    assert n % (model_axis * seq_axis) == 0, (n, model_axis, seq_axis)
+    assert n % (model_axis * seq_axis * pipe_axis) == 0, (
+        n, model_axis, seq_axis, pipe_axis)
+    if pipe_axis > 1:
+        if model_axis > 1 or seq_axis > 1:
+            raise NotImplementedError(
+                "the pipeline step composes with the 'data' axis only "
+                "(parallel/pp.py scope note)")
+        grid = np.asarray(devices).reshape(n // pipe_axis, pipe_axis)
+        return Mesh(grid, axis_names=("data", "pipe"))
     if seq_axis > 1:
         grid = np.asarray(devices).reshape(
             n // (model_axis * seq_axis), seq_axis, model_axis)

@@ -147,6 +147,7 @@ def make_optimizer(
     warmup_steps: int = 0,
     tp_size: int = 1,
     tp_shard_vocab: bool = False,
+    clip: optax.GradientTransformation | None = None,
 ) -> optax.GradientTransformation:
     """Full training chain: global-norm clip -> RAdam with cosine-decayed lr.
 
@@ -158,6 +159,11 @@ def make_optimizer(
     model-sharded params): the clip norm is computed with a psum over the
     'model' axis (see clip_by_tp_global_norm). LAMB's per-param trust ratio
     would need the same treatment and is not supported under TP.
+
+    `clip` overrides the global-norm clip transformation entirely — the
+    hook other sharded layouts use to make the norm exact for THEIR slices
+    (parallel.pp.clip_by_pp_global_norm psums stage-sharded layer stacks
+    over 'pipe').
     """
     from ..utils.schedules import cosine_decay_factor, cosine_decay_with_warmup_factor
 
@@ -174,10 +180,11 @@ def make_optimizer(
         raise NotImplementedError(
             "LAMB trust ratios are per-param norms and would be wrong on "
             "model-sharded params; use lamb=False with tensor parallelism")
-    clip = (clip_by_tp_global_norm(grad_clip_threshold, tp_size,
-                                   shard_vocab=tp_shard_vocab)
-            if tp_size > 1 else
-            optax.clip_by_global_norm(grad_clip_threshold))
+    if clip is None:
+        clip = (clip_by_tp_global_norm(grad_clip_threshold, tp_size,
+                                       shard_vocab=tp_shard_vocab)
+                if tp_size > 1 else
+                optax.clip_by_global_norm(grad_clip_threshold))
     return optax.chain(
         clip,
         radam(schedule, weight_decay=weight_decay, lamb=lamb),
