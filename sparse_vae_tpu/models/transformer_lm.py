@@ -63,6 +63,36 @@ class TransformerHparams(LanguageModelHparams):
     sp_size: int = 1
 
 
+def checkpoint_policy(name: str):
+    """Named rematerialization policy for grad_checkpointing — shared by the
+    model's own nn.remat decoder layers (setup below) and the pipeline-
+    parallel stage function (parallel/pp.py), so `remat_policy` means the
+    same thing on every execution path. See TransformerHparams.remat_policy
+    for what each saves."""
+    cp = jax.checkpoint_policies
+    policies = {
+        "full": None,  # recompute everything (jax default)
+        "dots": cp.dots_saveable,
+        # The Pallas attention custom calls are not dots, so 'dots'
+        # recomputes them (plus their boundary layout copies) in the
+        # backward pass — ~20 ms/step at the bench shape. These save
+        # the named attention tensors too (ops/attention.py __call__):
+        # 'dots_attn' the kernel output (~100 MB/layer at 8x12800),
+        # 'dots_attn_qkv' also the head-major q/k/v (+300 MB/layer).
+        "dots_attn": cp.save_from_both_policies(
+            cp.dots_saveable, cp.save_only_these_names("attn_out")),
+        "dots_attn_qkv": cp.save_from_both_policies(
+            cp.dots_saveable,
+            cp.save_only_these_names("attn_out", "attn_qkv")),
+        "offload": cp.offload_dot_with_no_batch_dims(
+            "device", "pinned_host"),
+    }
+    if name not in policies:
+        raise ValueError(f"remat_policy {name!r} not in "
+                         f"{sorted(policies)}")
+    return policies[name]
+
+
 class TransformerLanguageModel(nn.Module):
     hparams: TransformerHparams
 
@@ -92,33 +122,14 @@ class TransformerLanguageModel(nn.Module):
             if d_embedding != hp.d_model else None)
         self.input_dropout_layer = nn.Dropout(rate=hp.input_dropout)
 
-        cp = jax.checkpoint_policies
-        policies = {
-            "full": None,  # recompute everything (jax default)
-            "dots": cp.dots_saveable,
-            # The Pallas attention custom calls are not dots, so 'dots'
-            # recomputes them (plus their boundary layout copies) in the
-            # backward pass — ~20 ms/step at the bench shape. These save
-            # the named attention tensors too (ops/attention.py __call__):
-            # 'dots_attn' the kernel output (~100 MB/layer at 8x12800),
-            # 'dots_attn_qkv' also the head-major q/k/v (+300 MB/layer).
-            "dots_attn": cp.save_from_both_policies(
-                cp.dots_saveable, cp.save_only_these_names("attn_out")),
-            "dots_attn_qkv": cp.save_from_both_policies(
-                cp.dots_saveable,
-                cp.save_only_these_names("attn_out", "attn_qkv")),
-            "offload": cp.offload_dot_with_no_batch_dims(
-                "device", "pinned_host"),
-        }
-        if hp.remat_policy not in policies:
-            raise ValueError(f"remat_policy {hp.remat_policy!r} not in "
-                             f"{sorted(policies)}")
         layer_cls = TransformerLayer
         if hp.grad_checkpointing:
             layer_cls = nn.remat(TransformerLayer,
                                  static_argnums=(5,),  # deterministic flag
                                  # (self is arg 0 in flax remat numbering)
-                                 policy=policies[hp.remat_policy])
+                                 policy=checkpoint_policy(hp.remat_policy))
+        else:
+            checkpoint_policy(hp.remat_policy)  # validate the name anyway
         self.decoder_layers = [
             layer_cls(d_model=hp.d_model, num_heads=hp.num_heads,
                       causal=True,

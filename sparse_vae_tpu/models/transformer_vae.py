@@ -111,6 +111,17 @@ class TransformerVAE(TransformerLanguageModel):
             ll = sum_over_shards(ll, "seq")
         return ll
 
+    def posterior_and_z(self, token_ids, deterministic: bool = True):
+        """(posterior, kl, z) with z drawn from the SAME flax 'sample'
+        stream (same fold: posterior first, then the module's first
+        make_rng) as forward_chunked_nll/__call__ — lets the pipeline-
+        parallel step (parallel/pp.py) reproduce the production step's z
+        bitwise while running the encoder separately from the staged
+        decoder."""
+        q, kl = self.posterior(token_ids, get_kl=True,
+                               deterministic=deterministic)
+        return q, kl, q.sample(self.make_rng("sample"))
+
     # -- training forward (VAEObjective contract) ---------------------------
     def __call__(self, token_ids, deterministic: bool = True):
         q, kl = self.posterior(token_ids, get_kl=True,

@@ -299,7 +299,7 @@ class Attention(nn.Module):
                 or (jax.default_backend() == "tpu"
                     and bs % 128 == 0 and q.shape[-1] % 8 == 0)):
             # Fused Pallas path: the band kernels run per shard with
-            # q_off=window over the extended keys; the CLS block merges
+            # q_off=window-1 over the extended keys; the CLS block merges
             # flash-style (ops/pallas_kernels.py sp_windowed_attention_*).
             from .pallas_kernels import sp_windowed_attention_pallas
             nrows = q.shape[0]

@@ -97,9 +97,11 @@ def param_sharding_rules(params, mesh: Mesh, min_size: int = 2 ** 16):
     """Heuristic tensor-parallel shardings: shard the last axis of large 2-D+
     kernels over 'model' when divisible; replicate everything else.
 
-    With model_axis == 1 this degenerates to full replication (pure DP).
+    With model_axis == 1 this degenerates to full replication (pure DP) —
+    as it does on meshes without a 'model' axis at all (the 'pipe' mesh,
+    whose params shard via parallel.pp.pp_param_specs instead).
     """
-    model = mesh.shape["model"]
+    model = mesh.shape.get("model", 1)
 
     def rule(x):
         if (model > 1 and hasattr(x, "ndim") and x.ndim >= 2

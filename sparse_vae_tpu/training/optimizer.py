@@ -104,18 +104,15 @@ def radam(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-def clip_by_tp_global_norm(max_norm: float, tp_size: int,
-                           axis_name: str = "model",
-                           shard_vocab: bool = False
-                           ) -> optax.GradientTransformation:
-    """Global-norm clip whose norm is exact under tensor parallelism.
+def clip_by_norm_fn(max_norm: float, norm_fn
+                    ) -> optax.GradientTransformation:
+    """optax.clip_by_global_norm semantics with a caller-supplied norm.
 
-    Inside shard_map on a 2-D mesh, model-sharded gradient leaves hold only
-    this shard's slice: optax.clip_by_global_norm would compute a different
-    norm on every model shard and the shards would silently diverge. Here
-    the sharded leaves' squared norms are psum'd over `axis_name`
-    (parallel.tp.tp_global_norm) so every shard clips by the same, correct
-    global norm. Clipping semantics match optax.clip_by_global_norm.
+    Inside shard_map, sharded gradient leaves hold only this shard's slice:
+    optax.clip_by_global_norm would compute a different norm on every shard
+    and the shards would silently diverge. Each sharded layout supplies the
+    norm that psums its own slices (TP: clip_by_tp_global_norm; PP:
+    parallel.pp.clip_by_pp_global_norm) over this shared scaffolding.
     """
 
     def init_fn(params):
@@ -124,10 +121,7 @@ def clip_by_tp_global_norm(max_norm: float, tp_size: int,
 
     def update_fn(updates, state, params=None):
         del params
-        from ..parallel.tp import tp_global_norm, tp_sharded_mask
-        g_norm = tp_global_norm(
-            updates, tp_sharded_mask(updates, tp_size, shard_vocab),
-            axis_name)
+        g_norm = norm_fn(updates)
         trigger = g_norm < max_norm
         updates = jax.tree.map(
             lambda t: jnp.where(trigger, t,
@@ -136,6 +130,24 @@ def clip_by_tp_global_norm(max_norm: float, tp_size: int,
         return updates, state
 
     return optax.GradientTransformation(init_fn, update_fn)
+
+
+def clip_by_tp_global_norm(max_norm: float, tp_size: int,
+                           axis_name: str = "model",
+                           shard_vocab: bool = False
+                           ) -> optax.GradientTransformation:
+    """Global-norm clip whose norm is exact under tensor parallelism: the
+    model-sharded leaves' squared norms are psum'd over `axis_name`
+    (parallel.tp.tp_global_norm) so every shard clips by the same, correct
+    global norm."""
+
+    def norm_fn(updates):
+        from ..parallel.tp import tp_global_norm, tp_sharded_mask
+        return tp_global_norm(
+            updates, tp_sharded_mask(updates, tp_size, shard_vocab),
+            axis_name)
+
+    return clip_by_norm_fn(max_norm, norm_fn)
 
 
 def make_optimizer(

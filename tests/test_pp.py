@@ -194,6 +194,124 @@ class TestPipelineStepExact:
             assert np.all(np.isfinite(np.asarray(leaf)))
 
 
+def _vae_setup(num_layers=4, free_bits=0.0):
+    from sparse_vae_tpu.models.transformer_vae import (TransformerVAE,
+                                                       TransformerVAEHparams)
+    from sparse_vae_tpu.models.vae import VAEObjective
+    hp = TransformerVAEHparams(
+        d_model=32, num_heads=2, num_layers=num_layers, latent_depth=8,
+        vocab_size=64, num_encoder_latents=8, sparse_self_attention=True,
+        attn_window_size=2, attn_block_size=8, use_pallas_kernel=False,
+        loss_chunk_size=16, free_bits=free_bits)
+    return TransformerVAE(hp), VAEObjective(hp), hp
+
+
+class TestVaePipelineStepExact:
+    """The flagship family under pp: per-tick replicated encoder with the
+    production rng derivation (z bitwise-identical on every stage and to the
+    non-pp step), staged z-injection, KL sums counted once."""
+
+    def test_posterior_and_z_matches_training_forward(self):
+        """posterior_and_z must draw from the SAME flax 'sample' fold as
+        forward_chunked_nll — the property the pp step's exactness rests
+        on."""
+        model, obj, hp = _vae_setup()
+        rng = jax.random.PRNGKey(0)
+        tok = jax.random.randint(rng, (3, 64), 3, 64)
+        tok = tok.at[:, 40:].set(0)
+        params = model.init({"params": rng, "sample": rng},
+                            tok[:1])["params"]
+        drop, samp, _ = jax.random.split(jax.random.PRNGKey(5), 3)
+        from sparse_vae_tpu.models.transformer_vae import TransformerVAE
+        _, _, _, _, z_ref = model.apply(
+            {"params": params}, tok, rngs={"dropout": drop, "sample": samp},
+            method=TransformerVAE.forward_chunked_nll)
+        _, _, z_pp = model.apply({"params": params}, tok,
+                                 rngs={"sample": samp},
+                                 method=TransformerVAE.posterior_and_z)
+        np.testing.assert_array_equal(np.asarray(z_ref), np.asarray(z_pp))
+
+    @pytest.mark.parametrize("free_bits", [0.0, 0.25])
+    def test_matches_single_device(self, pipe_mesh, free_bits):
+        """data=2 x pipe=4 VAE step == per-data-shard-folded single-device
+        accumulation (the test_sp data x seq reference pattern), including
+        the free-bits clamped KL sums."""
+        model, obj, hp = _vae_setup(free_bits=free_bits)
+        rng = jax.random.PRNGKey(3)
+        k, b = 4, 4
+        batch = _batch(rng, k, b, 64)
+        params = model.init({"params": rng, "sample": rng},
+                            batch["token_ids"][0][:1])["params"]
+
+        ppp = pp_split_params(params, hp.num_layers)
+        assert "z_projections" in ppp
+        opt = make_pp_optimizer(lr=1e-2, lr_decay_steps=1000,
+                                grad_clip_threshold=5.0)
+        step_fn = make_pp_train_step(model, obj, opt, pipe_mesh)
+        clone = lambda t: jax.tree.map(jnp.array, t)
+        step_rng = jax.random.PRNGKey(7)
+        p1, o1, m1 = step_fn(clone(ppp), clone(opt.init(ppp)),
+                             shard_batch(batch, pipe_mesh, stacked=True),
+                             jnp.asarray(0), step_rng)
+
+        opt_ref = make_optimizer(lr=1e-2, lr_decay_steps=1000,
+                                 grad_clip_threshold=5.0)
+        rows_per = b // 2
+
+        def micro_loss(p, i):
+            sums = counts = None
+            for sdx in range(2):
+                r = jax.random.split(jax.random.fold_in(step_rng, sdx),
+                                     k)[i]
+                mb = {name: arr[i, sdx * rows_per:(sdx + 1) * rows_per]
+                      for name, arr in batch.items()}
+                su, co = obj.loss_sums(model, p, mb, 0, r)
+                sums = su if sums is None else jax.tree.map(jnp.add, sums,
+                                                            su)
+                counts = co if counts is None else jax.tree.map(
+                    jnp.add, counts, co)
+            return obj.compose_loss(sums, counts, 0)
+
+        grads_acc, losses, kls = None, [], []
+        for i in range(k):
+            (loss_i, met_i), g = jax.value_and_grad(
+                lambda p: micro_loss(p, i), has_aux=True)(params)
+            losses.append(float(loss_i))
+            kls.append(float(met_i["train_kl"]))
+            grads_acc = g if grads_acc is None else jax.tree.map(
+                jnp.add, grads_acc, g)
+        grads = jax.tree.map(lambda x: x / k, grads_acc)
+        updates, _ = opt_ref.update(grads, opt_ref.init(params), params)
+        p0 = optax.apply_updates(params, updates)
+
+        np.testing.assert_allclose(float(m1["loss"]), np.mean(losses),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(m1["train_kl"]), np.mean(kls),
+                                   rtol=1e-4, atol=1e-7)
+        np.testing.assert_allclose(float(m1["grad_norm"]),
+                                   float(optax.global_norm(grads)),
+                                   rtol=1e-4)
+        _assert_trees_match(pp_merge_params(p1), p0)
+
+    def test_mc_samples_rejected(self, pipe_mesh):
+        model, obj, hp = _vae_setup()
+        hp.train_mc_samples = 4
+        opt = make_pp_optimizer(lr=1e-2, lr_decay_steps=None,
+                                grad_clip_threshold=5.0)
+        with pytest.raises(NotImplementedError, match="multi-sample"):
+            make_pp_train_step(model, obj, opt, pipe_mesh)
+
+    def test_lstm_vae_rejected(self, pipe_mesh):
+        from sparse_vae_tpu.models.lstm_vae import LSTMVAE, LSTMVAEHparams
+        from sparse_vae_tpu.models.vae import VAEObjective
+        hp = LSTMVAEHparams(d_model=32, latent_depth=8, vocab_size=64)
+        opt = make_pp_optimizer(lr=1e-2, lr_decay_steps=None,
+                                grad_clip_threshold=5.0)
+        with pytest.raises(NotImplementedError, match="stageable"):
+            make_pp_train_step(LSTMVAE(hp), VAEObjective(hp), opt,
+                               pipe_mesh)
+
+
 class TestGuards:
     def test_layers_not_divisible(self, pipe_mesh):
         model, obj, hp = _setup(num_layers=6)  # 6 % 4 != 0
@@ -201,20 +319,6 @@ class TestGuards:
                                 grad_clip_threshold=5.0)
         with pytest.raises(ValueError, match="not divisible"):
             make_pp_train_step(model, obj, opt, pipe_mesh)
-
-    def test_vae_objective_rejected(self, pipe_mesh):
-        from sparse_vae_tpu.models.transformer_vae import (
-            TransformerVAE, TransformerVAEHparams)
-        from sparse_vae_tpu.models.vae import VAEObjective
-        hp = TransformerVAEHparams(
-            d_model=32, num_heads=2, num_layers=4, latent_depth=8,
-            vocab_size=64, sparse_self_attention=True, attn_window_size=2,
-            attn_block_size=8, use_pallas_kernel=False, loss_chunk_size=16)
-        opt = make_pp_optimizer(lr=1e-2, lr_decay_steps=None,
-                                grad_clip_threshold=5.0)
-        with pytest.raises(NotImplementedError, match="AR objective"):
-            make_pp_train_step(TransformerVAE(hp), VAEObjective(hp), opt,
-                               pipe_mesh)
 
     def test_mesh_without_pipe_rejected(self):
         model, obj, _ = _setup()
