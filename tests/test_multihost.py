@@ -2,16 +2,22 @@
 
 Everything else in the suite runs single-process on a virtual 8-device mesh;
 this spawns two REAL processes (Gloo collectives between them, 4 CPU devices
-each), builds the global (8,) 'data' mesh spanning both, distributes the
-batch with jax.make_array_from_process_local_data, runs ONE production
-optimizer step (parallel.spmd.make_train_step — the exact path a TPU pod
-slice would run after parallel.mesh.initialize_distributed), and checks the
-loss and updated params agree with the same step executed single-process on
-8 virtual devices (itself exact-equivalence-tested against single-device in
-test_parallel.py). This is the only place the multi-host claim in
-README/PARITY §2.10 is actually exercised rather than asserted.
+each), builds a global 8-device mesh spanning both, distributes the batch
+with jax.make_array_from_process_local_data, runs ONE production optimizer
+step (parallel.spmd.make_train_step — the exact path a TPU pod slice would
+run after parallel.mesh.initialize_distributed), and checks the loss and
+updated params agree with the same step executed single-process on 8
+virtual devices (itself exact-equivalence-tested against single-device in
+test_parallel.py / test_sp.py). Two modes:
 
-The worker half lives in this same file behind __main__.
+- dp: the (8,) 'data' mesh — grad/loss psums cross the process boundary;
+- sp: the (1, 8) data x seq mesh on the sequence-parallel TransformerVAE —
+  the window-band halo ppermute, [CLS] psum broadcast, and label-shift
+  ppermute all cross the boundary between global devices 3 and 4.
+
+This is the only place the multi-host claim in README/PARITY §2.10 is
+actually exercised rather than asserted. The worker half lives in this same
+file behind __main__.
 """
 import os
 import socket
@@ -20,8 +26,20 @@ import sys
 import tempfile
 from pathlib import Path
 
-def _build_problem():
-    """Deterministic tiny problem shared by workers and the reference."""
+
+def _init_params(model, init_rngs, sample):
+    """Eager param init on a LOCAL device. local_devices, NOT devices:
+    under multi-process, global device 0 is non-addressable on every
+    process but 0 and eagerly dispatching the flax init there crashes.
+    Local eager init gives identical values on every process
+    (deterministic rng)."""
+    import jax
+    with jax.default_device(jax.local_devices()[0]):
+        return model.init(init_rngs, sample)["params"]
+
+
+def _dp_problem():
+    """Deterministic tiny AR problem for the pure data-parallel mesh."""
     import jax
     import numpy as np
     import optax
@@ -32,9 +50,6 @@ def _build_problem():
 
     hp = LSTMLanguageModelHparams(d_embedding=16, d_model=32, vocab_size=64)
     model = LSTMLanguageModel(hp)
-    objective = ARObjective(hp)
-    optimizer = optax.sgd(1e-2)
-
     rng = jax.random.PRNGKey(0)
     k, b, L = 2, 16, 48
     lengths = np.array(jax.random.randint(rng, (k, b), 8, L))
@@ -43,16 +58,53 @@ def _build_problem():
     batch = {"token_ids": tokens.astype(np.int32),
              "num_tokens": lengths.astype(np.int32),
              "num_bytes": (lengths * 4).astype(np.int32)}
-    # local_devices, NOT devices: under multi-process, global device 0 is
-    # non-addressable on every process but 0 and eagerly dispatching the
-    # flax init there crashes. Local eager init gives identical values on
-    # every process (deterministic rng).
-    with jax.default_device(jax.local_devices()[0]):
-        params = model.init(rng, batch["token_ids"][0])["params"]
-    return model, objective, optimizer, params, batch, rng
+    params = _init_params(model, rng, batch["token_ids"][0])
+    return (model, ARObjective(hp), optax.sgd(1e-2), params, batch, rng,
+            dict(seq_axis=1))
 
 
-def _worker_main(proc_id: int, num_procs: int, port: int, out_path: str):
+def _sp_problem():
+    """Sequence-parallel TransformerVAE on a (data 1, seq 8) mesh: 128-token
+    documents in 16-token shards (= the window span at window 2 x block 8),
+    so the halo/CLS/label collectives are all live — and cross the process
+    boundary."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+    import optax
+
+    from sparse_vae_tpu.models.transformer_vae import (TransformerVAE,
+                                                       TransformerVAEHparams)
+    from sparse_vae_tpu.models.vae import VAEObjective
+
+    hp = TransformerVAEHparams(
+        d_model=32, num_heads=2, num_layers=2, latent_depth=8, vocab_size=64,
+        num_encoder_latents=8, sparse_self_attention=True, attn_window_size=2,
+        attn_block_size=8, use_pallas_kernel=False, loss_chunk_size=16,
+        sp_size=8)
+    model = TransformerVAE(hp)
+    rng = jax.random.PRNGKey(1)
+    k, b, L = 2, 2, 128
+    lengths = np.array(jax.random.randint(rng, (k, b), L // 2, L))
+    tokens = np.array(jax.random.randint(rng, (k, b, L), 3, 64))
+    tokens = tokens * (np.arange(L)[None, None, :] < lengths[:, :, None])
+    batch = {"token_ids": tokens.astype(np.int32),
+             "num_tokens": lengths.astype(np.int32),
+             "num_bytes": (lengths * 4).astype(np.int32)}
+    global_model = TransformerVAE(dataclasses.replace(hp, sp_size=1))
+    params = _init_params(global_model, {"params": rng, "sample": rng},
+                          batch["token_ids"][0][:1])
+    optimizer = optax.sgd(1e-2)
+    return (model, VAEObjective(hp), optimizer, params, batch, rng,
+            dict(seq_axis=8))
+
+
+PROBLEMS = {"dp": _dp_problem, "sp": _sp_problem}
+
+
+def _worker_main(mode: str, proc_id: int, num_procs: int, port: int,
+                 out_path: str):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -66,29 +118,34 @@ def _worker_main(proc_id: int, num_procs: int, port: int, out_path: str):
     assert len(jax.local_devices()) == 4
 
     import numpy as np
-    from jax.sharding import NamedSharding
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from sparse_vae_tpu.parallel.mesh import create_mesh
     from sparse_vae_tpu.parallel.spmd import batch_specs, make_train_step
 
-    model, objective, optimizer, params, batch, rng = _build_problem()
-    mesh = create_mesh()  # all 8 global devices, axis 'data'
-    assert dict(mesh.shape) == {"data": 8, "model": 1}, mesh.shape
+    model, objective, optimizer, params, batch, rng, mesh_kw = \
+        PROBLEMS[mode]()
+    mesh = create_mesh(**mesh_kw)  # all 8 global devices
+    specs = batch_specs(mesh, stacked=True)
 
     # Distribute: every process holds the full host batch; each contributes
-    # the row slice its local devices own. Params/opt-state replicate from
-    # identical host values.
-    specs = batch_specs(mesh, stacked=True)
-    rows = batch["token_ids"].shape[1]
-    lo, hi = proc_id * rows // num_procs, (proc_id + 1) * rows // num_procs
-
+    # the slice its local devices own (rows for 'data', token positions for
+    # 'seq'). Params/opt-state replicate from identical host values.
     def put_batch(name, v):
         sh = NamedSharding(mesh, specs[name])
-        return jax.make_array_from_process_local_data(
-            sh, v[:, lo:hi], v.shape)
+        axes = {ax: dim for dim, entry in enumerate(specs[name])
+                for ax in ((entry,) if isinstance(entry, str) else entry or ())
+                if mesh.shape[ax] > 1}
+        local = v
+        for ax, dim in axes.items():
+            n = mesh.shape[ax]
+            lo = proc_id * n // num_procs * v.shape[dim] // n
+            hi = (proc_id + 1) * n // num_procs * v.shape[dim] // n
+            local = np.take(local, range(lo, hi), axis=dim)
+        return jax.make_array_from_process_local_data(sh, local, v.shape)
 
     g_batch = {name: put_batch(name, v) for name, v in batch.items()}
-    rep = NamedSharding(mesh, jax.sharding.PartitionSpec())
+    rep = NamedSharding(mesh, P())
     put_rep = lambda t: jax.tree.map(
         lambda x: jax.make_array_from_process_local_data(
             rep, np.asarray(x), np.shape(x)), t)
@@ -118,14 +175,7 @@ def _free_port():
     return port
 
 
-def test_two_process_step_matches_single_process():
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from sparse_vae_tpu.parallel.mesh import create_mesh
-    from sparse_vae_tpu.parallel.spmd import make_train_step, shard_batch
-
+def _run_pair(mode: str):
     port = _free_port()
     out = Path(tempfile.mkdtemp()) / "mh.npz"
     env = dict(os.environ)
@@ -135,8 +185,8 @@ def test_two_process_step_matches_single_process():
     env["PYTHONPATH"] = str(Path(__file__).resolve().parents[1])
     procs = [
         subprocess.Popen(
-            [sys.executable, __file__, "worker", str(i), "2", str(port),
-             str(out)],
+            [sys.executable, __file__, "worker", mode, str(i), "2",
+             str(port), str(out)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for i in range(2)
     ]
@@ -146,18 +196,33 @@ def test_two_process_step_matches_single_process():
         outputs.append(stdout.decode(errors="replace"))
     for i, p in enumerate(procs):
         assert p.returncode == 0, f"worker {i} failed:\n{outputs[i][-4000:]}"
-    got = np.load(out)
+    import numpy as np
+    return np.load(out)
 
-    # Single-process reference on the 8-device virtual mesh (conftest).
-    model, objective, optimizer, params, batch, rng = _build_problem()
-    mesh = create_mesh(num_devices=8)
+
+def _single_process_reference(mode: str):
+    import jax
+    import jax.numpy as jnp
+
+    from sparse_vae_tpu.parallel.mesh import create_mesh
+    from sparse_vae_tpu.parallel.spmd import make_train_step, shard_batch
+
+    model, objective, optimizer, params, batch, rng, mesh_kw = \
+        PROBLEMS[mode]()
+    mesh = create_mesh(num_devices=8, **mesh_kw)
     step_fn = make_train_step(model, objective, optimizer, mesh=mesh)
     batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
-    p0, _, m0 = step_fn(jax.tree.map(jnp.array, params),
-                        optimizer.init(params),
-                        shard_batch(batch_j, mesh, stacked=True),
-                        jnp.asarray(0), rng)
+    return step_fn(jax.tree.map(jnp.array, params), optimizer.init(params),
+                   shard_batch(batch_j, mesh, stacked=True),
+                   jnp.asarray(0), rng)
 
+
+def _check(mode: str):
+    import jax
+    import numpy as np
+
+    got = _run_pair(mode)
+    p0, _, m0 = _single_process_reference(mode)
     np.testing.assert_allclose(got["loss"], float(m0["loss"]), rtol=1e-6)
     np.testing.assert_allclose(got["grad_norm"], float(m0["grad_norm"]),
                                rtol=1e-5)
@@ -166,7 +231,15 @@ def test_two_process_step_matches_single_process():
                                    atol=1e-7, err_msg=f"param leaf {i}")
 
 
+def test_two_process_dp_step_matches_single_process():
+    _check("dp")
+
+
+def test_two_process_seq_parallel_step_matches_single_process():
+    _check("sp")
+
+
 if __name__ == "__main__":
     assert sys.argv[1] == "worker"
-    _worker_main(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]),
-                 sys.argv[5])
+    _worker_main(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]),
+                 int(sys.argv[5]), sys.argv[6])
