@@ -13,7 +13,9 @@ test_parallel.py / test_sp.py). Two modes:
 - dp: the (8,) 'data' mesh — grad/loss psums cross the process boundary;
 - sp: the (1, 8) data x seq mesh on the sequence-parallel TransformerVAE —
   the window-band halo ppermute, [CLS] psum broadcast, and label-shift
-  ppermute all cross the boundary between global devices 3 and 4.
+  ppermute all cross the boundary between global devices 3 and 4;
+- pp: the (1, 8) data x pipe mesh on an 8-layer transformer LM — every
+  GPipe tick's stage-to-stage activation ppermute crosses it.
 
 This is the only place the multi-host claim in README/PARITY §2.10 is
 actually exercised rather than asserted. The worker half lives in this same
@@ -100,7 +102,59 @@ def _sp_problem():
             dict(seq_axis=8))
 
 
-PROBLEMS = {"dp": _dp_problem, "sp": _sp_problem}
+def _pp_problem():
+    """Pipeline-parallel 8-layer transformer LM on a (data 1, pipe 8) mesh:
+    one layer per stage, M=4 microbatches streaming through — every tick's
+    hand-off crosses the process boundary at stage 3 -> 4."""
+    import jax
+    import numpy as np
+
+    from sparse_vae_tpu.models.transformer_lm import (
+        TransformerHparams, TransformerLanguageModel)
+    from sparse_vae_tpu.parallel.pp import make_pp_optimizer
+    from sparse_vae_tpu.training.objectives import ARObjective
+
+    hp = TransformerHparams(
+        d_model=32, num_heads=2, num_layers=8, vocab_size=64,
+        sparse_self_attention=True, attn_window_size=2, attn_block_size=8,
+        use_pallas_kernel=False, loss_chunk_size=16)
+    model = TransformerLanguageModel(hp)
+    rng = jax.random.PRNGKey(2)
+    k, b, L = 4, 2, 32
+    lengths = np.array(jax.random.randint(rng, (k, b), L // 2, L))
+    tokens = np.array(jax.random.randint(rng, (k, b, L), 3, 64))
+    tokens = tokens * (np.arange(L)[None, None, :] < lengths[:, :, None])
+    batch = {"token_ids": tokens.astype(np.int32),
+             "num_tokens": lengths.astype(np.int32),
+             "num_bytes": (lengths * 4).astype(np.int32)}
+    params = _init_params(model, rng, batch["token_ids"][0])
+    optimizer = make_pp_optimizer(lr=1e-2, lr_decay_steps=1000,
+                                  grad_clip_threshold=5.0)
+    return (model, ARObjective(hp), optimizer, params, batch, rng,
+            dict(pipe_axis=8))
+
+
+PROBLEMS = {"dp": _dp_problem, "sp": _sp_problem, "pp": _pp_problem}
+
+
+def _pp_steps(mode, model, objective, optimizer, params, mesh):
+    """(step_fn, global params pytree-with-specs) for the mode: the pp mode
+    converts to the stacked layout and shards it over 'pipe'."""
+    from jax.sharding import PartitionSpec as P
+
+    from sparse_vae_tpu.parallel.pp import (make_pp_train_step,
+                                            pp_param_specs, pp_split_params)
+    from sparse_vae_tpu.parallel.spmd import make_train_step
+
+    if mode != "pp":
+        import jax
+        step_fn = make_train_step(model, objective, optimizer, mesh=mesh)
+        specs = jax.tree.map(lambda _: P(), params)
+        return step_fn, params, specs
+    ppp = pp_split_params(params, model.hparams.num_layers)
+    step_fn = make_pp_train_step(model, objective, optimizer, mesh,
+                                 deterministic=True)
+    return step_fn, ppp, pp_param_specs(ppp)
 
 
 def _worker_main(mode: str, proc_id: int, num_procs: int, port: int,
@@ -118,22 +172,27 @@ def _worker_main(mode: str, proc_id: int, num_procs: int, port: int,
     assert len(jax.local_devices()) == 4
 
     import numpy as np
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding
 
     from sparse_vae_tpu.parallel.mesh import create_mesh
-    from sparse_vae_tpu.parallel.spmd import batch_specs, make_train_step
+    from sparse_vae_tpu.parallel.spmd import batch_specs
 
     model, objective, optimizer, params, batch, rng, mesh_kw = \
         PROBLEMS[mode]()
     mesh = create_mesh(**mesh_kw)  # all 8 global devices
-    specs = batch_specs(mesh, stacked=True)
+    b_specs = batch_specs(mesh, stacked=True)
+    step_fn, params, p_specs = _pp_steps(mode, model, objective, optimizer,
+                                         params, mesh)
 
-    # Distribute: every process holds the full host batch; each contributes
-    # the slice its local devices own (rows for 'data', token positions for
-    # 'seq'). Params/opt-state replicate from identical host values.
-    def put_batch(name, v):
-        sh = NamedSharding(mesh, specs[name])
-        axes = {ax: dim for dim, entry in enumerate(specs[name])
+    # Distribute: every process holds the full host values; each contributes
+    # the slice its local devices own along whatever axes the PartitionSpec
+    # shards (batch rows for 'data', token positions for 'seq', the stacked
+    # layer axis for 'pipe'); spec-free values replicate.
+    def put(v, spec):
+        sh = NamedSharding(mesh, spec)
+        v = np.asarray(v)
+        axes = {ax: dim for dim, entry in enumerate(spec)
                 for ax in ((entry,) if isinstance(entry, str) else entry or ())
                 if mesh.shape[ax] > 1}
         local = v
@@ -144,26 +203,27 @@ def _worker_main(mode: str, proc_id: int, num_procs: int, port: int,
             local = np.take(local, range(lo, hi), axis=dim)
         return jax.make_array_from_process_local_data(sh, local, v.shape)
 
-    g_batch = {name: put_batch(name, v) for name, v in batch.items()}
-    rep = NamedSharding(mesh, P())
-    put_rep = lambda t: jax.tree.map(
-        lambda x: jax.make_array_from_process_local_data(
-            rep, np.asarray(x), np.shape(x)), t)
-    g_params = put_rep(params)
-    g_opt = put_rep(optimizer.init(params))
+    g_batch = {name: put(v, b_specs[name]) for name, v in batch.items()}
+    g_params = jax.tree.map(put, params, p_specs)
+    opt_state = optimizer.init(params)
+    from sparse_vae_tpu.parallel.pp import pp_param_specs
+    o_specs = pp_param_specs(opt_state) if mode == "pp" else jax.tree.map(
+        lambda _: jax.sharding.PartitionSpec(), opt_state)
+    g_opt = jax.tree.map(put, opt_state, o_specs)
 
-    step_fn = make_train_step(model, objective, optimizer, mesh=mesh)
     p1, o1, metrics = step_fn(g_params, g_opt, g_batch,
                               jax.numpy.asarray(0), rng)
 
-    # Replicated outputs are fully addressable on every process.
+    # Gather every updated leaf to host (collective: all processes join);
+    # replicated leaves pass through, 'pipe'-sharded stacks reassemble.
+    flat = {f"p{i}": np.asarray(
+                multihost_utils.process_allgather(v, tiled=True))
+            for i, v in enumerate(jax.tree.leaves(p1))}
     if proc_id == 0:
-        flat = {f"p{i}": np.asarray(v)
-                for i, v in enumerate(jax.tree.leaves(p1))}
         flat["loss"] = np.asarray(metrics["loss"])
         flat["grad_norm"] = np.asarray(metrics["grad_norm"])
         np.savez(out_path, **flat)
-    jax.block_until_ready(p1)
+    jax.block_until_ready(o1)
     print(f"worker {proc_id} done", flush=True)
 
 
@@ -205,12 +265,13 @@ def _single_process_reference(mode: str):
     import jax.numpy as jnp
 
     from sparse_vae_tpu.parallel.mesh import create_mesh
-    from sparse_vae_tpu.parallel.spmd import make_train_step, shard_batch
+    from sparse_vae_tpu.parallel.spmd import shard_batch
 
     model, objective, optimizer, params, batch, rng, mesh_kw = \
         PROBLEMS[mode]()
     mesh = create_mesh(num_devices=8, **mesh_kw)
-    step_fn = make_train_step(model, objective, optimizer, mesh=mesh)
+    step_fn, params, _ = _pp_steps(mode, model, objective, optimizer,
+                                   params, mesh)
     batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
     return step_fn(jax.tree.map(jnp.array, params), optimizer.init(params),
                    shard_batch(batch_j, mesh, stacked=True),
@@ -237,6 +298,10 @@ def test_two_process_dp_step_matches_single_process():
 
 def test_two_process_seq_parallel_step_matches_single_process():
     _check("sp")
+
+
+def test_two_process_pipeline_step_matches_single_process():
+    _check("pp")
 
 
 if __name__ == "__main__":
