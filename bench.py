@@ -485,7 +485,9 @@ def main():
     import jax
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/svt-jax-cache")
+    from sparse_vae_tpu.cli import isolate_cpu_cache
+    jax.config.update("jax_compilation_cache_dir",
+                      isolate_cpu_cache("/tmp/svt-jax-cache"))
 
     if args.mode == "generate":
         return bench_generate(args)

@@ -132,4 +132,28 @@ def apply_platform_env():
         jax.config.update("jax_platforms", platforms)
     cache_dir = os.environ.get("SVT_COMPILE_CACHE", "/tmp/svt-jax-cache")
     if cache_dir:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_compilation_cache_dir",
+                          isolate_cpu_cache(cache_dir))
+
+
+def isolate_cpu_cache(cache_dir: str) -> str:
+    """CPU-backend runs get a cache dir suffixed with a host-CPU-feature
+    fingerprint. XLA:CPU AOT artifacts bake in the compiling machine's
+    feature set but the persistent cache key does NOT include it; this
+    sandbox's /tmp survives VM migrations across host generations, and
+    loading a stale artifact on a host missing a feature is at best a
+    loud 'machine type mismatch' warning and at worst SIGILL. TPU (and
+    any non-cpu backend) keeps the shared dir — its executables are
+    device-targeted, not host-targeted."""
+    import hashlib
+    import jax
+    if jax.default_backend() != "cpu":
+        return cache_dir
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(line for line in f if line.startswith("flags"))
+    except (OSError, StopIteration):
+        import platform
+        flags = platform.processor() or platform.machine()
+    fp = hashlib.sha1(flags.encode()).hexdigest()[:10]
+    return f"{cache_dir}-cpu-{fp}"

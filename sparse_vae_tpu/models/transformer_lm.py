@@ -63,6 +63,20 @@ class TransformerHparams(LanguageModelHparams):
     sp_size: int = 1
 
 
+def decoder_layer_module(hp, dtype, cls=TransformerLayer, name=None):
+    """One decoder TransformerLayer exactly as setup() declares them —
+    shared with the pipeline stage function (parallel/pp.py) so the layer
+    configuration can never drift between the production and pipelined
+    decoders. `cls` admits the nn.remat-wrapped class."""
+    return cls(d_model=hp.d_model, num_heads=hp.num_heads, causal=True,
+               sparse_self_attention=hp.sparse_self_attention,
+               window_size=hp.attn_window_size,
+               block_size=hp.attn_block_size,
+               use_cross_attention=hp.cross_attention,
+               use_pallas_kernel=hp.use_pallas_kernel, dtype=dtype,
+               tp_size=hp.tp_size, sp_size=hp.sp_size, name=name)
+
+
 def checkpoint_policy(name: str):
     """Named rematerialization policy for grad_checkpointing — shared by the
     model's own nn.remat decoder layers (setup below) and the pipeline-
@@ -131,15 +145,8 @@ class TransformerLanguageModel(nn.Module):
         else:
             checkpoint_policy(hp.remat_policy)  # validate the name anyway
         self.decoder_layers = [
-            layer_cls(d_model=hp.d_model, num_heads=hp.num_heads,
-                      causal=True,
-                      sparse_self_attention=hp.sparse_self_attention,
-                      window_size=hp.attn_window_size,
-                      block_size=hp.attn_block_size,
-                      use_cross_attention=hp.cross_attention,
-                      use_pallas_kernel=hp.use_pallas_kernel,
-                      dtype=self.dtype, tp_size=hp.tp_size,
-                      sp_size=hp.sp_size, name=f"layer_{i}")
+            decoder_layer_module(hp, self.dtype, cls=layer_cls,
+                                 name=f"layer_{i}")
             for i in range(hp.num_layers)
         ]
 

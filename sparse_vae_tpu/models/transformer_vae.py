@@ -34,6 +34,15 @@ class TransformerVAEHparams(TransformerHparams, ContinuousVAEHparams):
     early_stopping_metric: str = "val_nll"
 
 
+def z_projection_module(hp, dtype, name=None):
+    """One per-layer z-injection Dense exactly as setup() declares them —
+    shared with the pipeline stage function (parallel/pp.py) so the
+    projection configuration can never drift between the production and
+    pipelined decoders."""
+    return nn.Dense(hp.d_model, kernel_init=dense_kernel_init(hp.init_scale),
+                    dtype=dtype, name=name)
+
+
 class TransformerVAE(TransformerLanguageModel):
     hparams: TransformerVAEHparams
 
@@ -51,8 +60,7 @@ class TransformerVAE(TransformerLanguageModel):
         self.q_of_z_given_x = ConditionalGaussian(
             hp.latent_depth, init_scale=hp.init_scale)
         self.z_projections = [
-            nn.Dense(hp.d_model, kernel_init=dense_kernel_init(hp.init_scale),
-                     dtype=self.dtype, name=f"z_projection_{i}")
+            z_projection_module(hp, self.dtype, name=f"z_projection_{i}")
             for i in range(hp.num_layers)
         ]
 

@@ -150,28 +150,6 @@ def make_pp_optimizer(lr: float, lr_decay_steps, grad_clip_threshold: float,
 
 
 # -- the pipelined step -------------------------------------------------------
-def _layer_module(hp, dtype):
-    """A standalone TransformerLayer configured exactly as the model's
-    setup() builds its decoder layers (transformer_lm.py) — applied with one
-    slice of the stacked layer params."""
-    from ..models.transformer_layer import TransformerLayer
-    return TransformerLayer(
-        d_model=hp.d_model, num_heads=hp.num_heads, causal=True,
-        sparse_self_attention=hp.sparse_self_attention,
-        window_size=hp.attn_window_size, block_size=hp.attn_block_size,
-        use_cross_attention=hp.cross_attention,
-        use_pallas_kernel=hp.use_pallas_kernel, dtype=dtype)
-
-
-def _zproj_module(hp, dtype):
-    """The VAE's per-layer z-injection Dense (transformer_vae.py setup)."""
-    from flax import linen as nn
-
-    from ..models.base import dense_kernel_init
-    return nn.Dense(hp.d_model, kernel_init=dense_kernel_init(hp.init_scale),
-                    dtype=dtype)
-
-
 def make_pp_train_step(module, objective, optimizer, mesh: Mesh,
                        deterministic: bool = False):
     """Build the jitted pipeline-parallel optimizer step.
@@ -217,7 +195,11 @@ def make_pp_train_step(module, objective, optimizer, mesh: Mesh,
                 "the pipelined VAE path needs the transformer decoder "
                 "stack (per-layer z injection); this module has no "
                 "stageable layers")
-        if getattr(hp, "train_mc_samples", 1) > 1:
+        # The OBJECTIVE's hparams decide which estimator the production
+        # path would run (VAEObjective.loss_sums reads self.hp), so the
+        # guard must read the same source — a module/objective hparams
+        # mismatch must not silently train the wrong bound.
+        if getattr(objective.hp, "train_mc_samples", 1) > 1:
             raise NotImplementedError(
                 "multi-sample IWAE/DReG training is not pipelined (K "
                 "reconstruct passes per microbatch); use "
@@ -233,8 +215,13 @@ def make_pp_train_step(module, objective, optimizer, mesh: Mesh,
         raise ValueError(f"num_layers {hp.num_layers} not divisible by "
                          f"pipe={pp}")
     n_local = hp.num_layers // pp
-    layer_mod = _layer_module(hp, module.dtype)
-    zproj_mod = _zproj_module(hp, module.dtype) if is_vae else None
+    from ..models.transformer_lm import decoder_layer_module
+    layer_mod = decoder_layer_module(hp, module.dtype)
+    if is_vae:
+        from ..models.transformer_vae import z_projection_module
+        zproj_mod = z_projection_module(hp, module.dtype)
+    else:
+        zproj_mod = None
     cls = type(module)
     det = True if is_vae else deterministic
 
@@ -307,10 +294,11 @@ def make_pp_train_step(module, objective, optimizer, mesh: Mesh,
                 count_keys += ["row_count"]
 
             def tick_stats(tok, ntok, mb_rng):
-                """One stage-tick: (input x_in builder pieces, stats fn).
-                Returns (x_in_extra, stats) where stats are the FULL
-                per-microbatch loss sums (consumed only on the last
-                stage)."""
+                """Per-tick objective-specific pieces: returns
+                (embedded input, z-or-None, stage dropout rng, extra
+                stats) — the extra stats are the non-CE loss sums of this
+                microbatch (KL terms for the VAE; empty for AR), consumed
+                only on the last stage."""
                 if not is_vae:
                     drop_rng = jax.random.fold_in(mb_rng, hp.num_layers)
                     return embed(tok, drop_rng), None, mb_rng, {}

@@ -8,7 +8,7 @@ step (parallel.spmd.make_train_step — the exact path a TPU pod slice would
 run after parallel.mesh.initialize_distributed), and checks the loss and
 updated params agree with the same step executed single-process on 8
 virtual devices (itself exact-equivalence-tested against single-device in
-test_parallel.py / test_sp.py). Two modes:
+test_parallel.py / test_sp.py). Three modes:
 
 - dp: the (8,) 'data' mesh — grad/loss psums cross the process boundary;
 - sp: the (1, 8) data x seq mesh on the sequence-parallel TransformerVAE —
@@ -242,7 +242,9 @@ def _run_pair(mode: str):
     # Workers pin their own device count via jax_num_cpu_devices; the
     # pytest process's forced 8-device XLA flag must not leak into them.
     env.pop("XLA_FLAGS", None)
-    env["PYTHONPATH"] = str(Path(__file__).resolve().parents[1])
+    repo_root = str(Path(__file__).resolve().parents[1])
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (repo_root, env.get("PYTHONPATH")) if p)
     procs = [
         subprocess.Popen(
             [sys.executable, __file__, "worker", mode, str(i), "2",
@@ -250,12 +252,28 @@ def _run_pair(mode: str):
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for i in range(2)
     ]
-    outputs = []
-    for p in procs:
-        stdout, _ = p.communicate(timeout=900)
-        outputs.append(stdout.decode(errors="replace"))
+    outputs = ["", ""]
+    try:
+        for i, p in enumerate(procs):
+            try:
+                stdout, _ = p.communicate(timeout=900)
+            except subprocess.TimeoutExpired:
+                # One worker hung (usually because the OTHER crashed and
+                # it is stuck in a collective): kill both so their pipes
+                # drain and the diagnosis below shows the real traceback.
+                for q in procs:
+                    q.kill()
+                stdout, _ = p.communicate()
+            outputs[i] = stdout.decode(errors="replace")
+    finally:
+        for q in procs:
+            if q.poll() is None:
+                q.kill()
+                q.communicate()
     for i, p in enumerate(procs):
-        assert p.returncode == 0, f"worker {i} failed:\n{outputs[i][-4000:]}"
+        assert p.returncode == 0, (
+            f"worker {i} failed:\n{outputs[i][-4000:]}\n"
+            f"--- other worker:\n{outputs[1 - i][-4000:]}")
     import numpy as np
     return np.load(out)
 
