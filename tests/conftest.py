@@ -35,3 +35,18 @@ def cpu_devices():
 @pytest.fixture
 def rng():
     return jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _release_compiled_executables():
+    """Free jitted executables after every test module.
+
+    The suite compiles hundreds of large interpret-mode Pallas graphs in one
+    process; with all of them held live, XLA:CPU's JIT eventually segfaults
+    at a fixed offset in libjax_common.so while compiling yet another big
+    graph near the END of the suite (observed twice at test_sp's kernel-grad
+    case — which passes in a fresh process; classic accumulated-JIT-code
+    failure). Tests share almost no jitted functions across modules, so
+    dropping the caches costs a few recompiles and caps the accumulation."""
+    yield
+    jax.clear_caches()
