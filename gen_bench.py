@@ -3,7 +3,9 @@
 ``python gen_bench.py <model> <run-name> [seq=8192] [batch=1] [full=0]
 [window=512] [modes=greedy,sampled] [draft=3] [serve=0] [step=<n|best>]``.
 ``draft=N`` adds a frontier row with suffix-match drafting (greedy modes
-only; 0 disables); ``step`` selects the checkpoint (default newest).
+only; 0 disables) and sets the sampled modes' speculative-decoding draft
+n-gram (a speculative_draftN row always accompanies sampled modes);
+``step`` selects the checkpoint (default newest).
 ``serve=N`` adds the mass-sampling serving comparison: N documents with
 natural [SEP] stops, lockstep batches vs continuous batching
 (sparse_vae_tpu/serving.py) — e.g. ``modes=none serve=4000 batch=256
@@ -83,6 +85,15 @@ def main(args):
                 fused_select=fused, draft_ngram=ngram,
                 method=type(module).frontier_generate)
 
+        @functools.partial(jax.jit, static_argnums=(1,))
+        def speculative(rng, ngram):
+            return module.apply(
+                {"params": params}, rng, seq, *((batch, z) if is_vae
+                                                else (batch,)),
+                sampling, end_token=-1, window_tokens=window,
+                draft_ngram=ngram,
+                method=type(module).speculative_generate)
+
         @jax.jit
         def full_jacobi(rng):
             return module.apply(
@@ -118,6 +129,14 @@ def main(args):
                 except Exception as e:
                     print(f"# frontier_fused failed: {type(e).__name__}: "
                           f"{str(e).splitlines()[0][:120]}", file=sys.stderr)
+                # Frontier SPECULATIVE sampling: the sampled-mode draft
+                # lever Jacobi lacks — distribution-exact (not
+                # trajectory-exact), window drafts verified by
+                # accept/residual-resample (models/parallel_decode.py).
+                t_sp, (sp_out, sp_it) = timed(speculative,
+                                              max(draft, 0))
+                rows[f"speculative_draft{max(draft, 0)}"] = (t_sp,
+                                                             int(sp_it))
         if run_full:
             t_j, (j_out, j_it) = timed(full_jacobi)
             rows["jacobi_full"] = (t_j, int(j_it))

@@ -471,6 +471,35 @@ class TransformerLanguageModel(nn.Module):
             draft_ngram)
         return tokens[:, 1:], iters
 
+    def speculative_generate(self, rng, length: int, batch_size: int = 1,
+                             sampling: SamplingParams = SamplingParams(),
+                             start_token: int = 1, end_token: int = 2,
+                             window_tokens: int = 512,
+                             max_iters: Optional[int] = None,
+                             draft_ngram: int = 3):
+        """SAMPLED non-AR generation: frontier speculative verification
+        (models/parallel_decode.frontier_speculative_decode). The window is
+        the draft; accepted tokens are free, the first rejection resamples
+        from the residual — the output is an exact sample of the AR
+        sampling distribution (not the AR loop's trajectory for this rng;
+        at temperature 0 the two coincide and equal greedy decoding).
+        Sparse (sliding-window) models only. Returns (tokens [B, length-1]
+        sans start token, iterations)."""
+        if not self.hparams.sparse_self_attention:
+            raise ValueError("speculative_generate requires the sparse "
+                             "sliding-window attention configuration")
+        from .parallel_decode import (frontier_speculative_decode,
+                                      push_window_blocks)
+        bs = self.hparams.attn_block_size
+
+        tokens, iters = frontier_speculative_decode(
+            self.window_hidden, self.project,
+            lambda c, kvs, f: push_window_blocks(c, kvs, f, bs),
+            self.init_window_caches(batch_size),
+            batch_size, length, rng, sampling, start_token, end_token,
+            window_tokens, bs, max_iters, draft_ngram)
+        return tokens[:, 1:], iters
+
     def parallel_generate(self, rng, length: int, batch_size: int = 1,
                           sampling: SamplingParams = SamplingParams(),
                           start_token: int = 1, end_token: int = 2,

@@ -280,6 +280,34 @@ class TransformerVAE(TransformerLanguageModel):
             draft_ngram)
         return tokens[:, 1:], iters
 
+    def speculative_generate(self, rng, length: int, batch_size: int = 1,
+                             z=None,
+                             sampling: SamplingParams = SamplingParams(),
+                             start_token: int = 1, end_token: int = 2,
+                             window_tokens: int = 512,
+                             max_iters: Optional[int] = None,
+                             draft_ngram: int = 3):
+        """Frontier speculative SAMPLING from z (see
+        TransformerLanguageModel.speculative_generate)."""
+        if not self.hparams.sparse_self_attention:
+            raise ValueError("speculative_generate requires the sparse "
+                             "sliding-window attention configuration")
+        from .parallel_decode import (frontier_speculative_decode,
+                                      push_window_blocks)
+        z_rng, d_rng = jax.random.split(rng)
+        if z is None:
+            z = jax.random.normal(
+                z_rng, (batch_size, 1, self.hparams.latent_depth))
+        bs = self.hparams.attn_block_size
+
+        tokens, iters = frontier_speculative_decode(
+            lambda w, c, f: self.window_hidden_z(w, c, f, z), self.project,
+            lambda c, kvs, f: push_window_blocks(c, kvs, f, bs),
+            self.init_window_caches(batch_size),
+            batch_size, length, d_rng, sampling, start_token, end_token,
+            window_tokens, bs, max_iters, draft_ngram)
+        return tokens[:, 1:], iters
+
     def parallel_generate(self, rng, length: int, batch_size: int = 1,
                           z=None, sampling: SamplingParams = SamplingParams(),
                           start_token: int = 1, end_token: int = 2,

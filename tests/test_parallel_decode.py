@@ -341,3 +341,140 @@ class TestSuffixMatchDraft:
         out = self._draft(buffer, win_old, 8, 2)
         np.testing.assert_array_equal(out[0, 10:13], [7, 8, 5])
         np.testing.assert_array_equal(out[1], buffer[1])
+
+
+class TestFrontierSpeculative:
+    """Frontier speculative SAMPLING (frontier_speculative_decode): the
+    window is the draft, verified by the exact accept/residual-resample
+    rule — output distribution == AR sampling distribution; greedy is the
+    degenerate exact-trajectory case."""
+
+    def test_verify_operator_is_unbiased(self):
+        """Monte-Carlo identity check of _speculative_verify: for a fixed
+        filtered target p and point-mass draft d, the combined operator's
+        output law P(out = x) = p(d) 1[x=d] + (1-p(d)) residual(x) must
+        equal p exactly — drafts inside and outside the support alike."""
+        from sparse_vae_tpu.models.parallel_decode import _speculative_verify
+
+        V, N = 16, 200_000
+        base = np.array([2.0, 1.1, 0.3, -0.5, -1.2, 0.8, 1.9, -2.0,
+                         0.0, 0.4, -0.9, 1.3, -np.inf, -np.inf, 0.6, -0.1],
+                        np.float32)
+        p = np.exp(base - np.logaddexp.reduce(base[np.isfinite(base)]))
+        p[~np.isfinite(base)] = 0.0
+        p = p / p.sum()
+        for d in (0, 7, 12):   # high-mass, low-mass, outside the support
+            rng = jax.random.PRNGKey(d)
+            ck, nk = jax.random.split(rng)
+            coins = jax.random.uniform(ck, (N,), jnp.float32,
+                                       minval=1e-38, maxval=1.0)
+            noise = jax.random.gumbel(nk, (N, V), jnp.float32)
+            lf = jnp.broadcast_to(jnp.asarray(base), (N, V))
+            draft = jnp.full((N,), d, jnp.int32)
+            accept, resample = jax.jit(_speculative_verify)(
+                lf, draft, coins, noise)
+            out = np.where(np.asarray(accept), d, np.asarray(resample))
+            emp = np.bincount(out, minlength=V) / N
+            np.testing.assert_allclose(emp, p, atol=0.01,
+                                       err_msg=f"draft={d}")
+
+    def test_greedy_matches_ar_greedy(self, sparse_lm):
+        """temperature=0: accept iff draft == argmax reproduces the exact
+        greedy trajectory."""
+        model, params = sparse_lm
+        L = 128
+        ar = model.apply({"params": params}, jax.random.PRNGKey(0), L,
+                         2, GREEDY, method=model.sample)
+        sp, iters = model.apply(
+            {"params": params}, jax.random.PRNGKey(0), L, 2, GREEDY,
+            window_tokens=64, method=model.speculative_generate)
+        np.testing.assert_array_equal(np.asarray(ar), np.asarray(sp))
+
+    def test_greedy_faster_than_one_token_per_pass(self, sparse_lm):
+        """With suffix-match drafting the pass count must beat 1 token per
+        pass on the repetitive greedy continuation (the regime the Jacobi
+        draft already wins; speculative must keep that)."""
+        model, params = sparse_lm
+        L = 128
+        _, iters = model.apply(
+            {"params": params}, jax.random.PRNGKey(0), L, 1, GREEDY,
+            window_tokens=64, method=model.speculative_generate)
+        assert int(iters) < L - 1, int(iters)
+
+    def test_vae_greedy_matches_vae_ar(self):
+        hp = TransformerVAEHparams(
+            d_model=32, num_heads=4, num_layers=2, latent_depth=8,
+            vocab_size=128, num_encoder_latents=8,
+            sparse_self_attention=True, attn_window_size=2,
+            attn_block_size=32, use_pallas_kernel=False)
+        model = TransformerVAE(hp)
+        rng = jax.random.PRNGKey(0)
+        params = model.init({"params": rng, "sample": rng},
+                            jnp.ones((1, 16), jnp.int32))["params"]
+        z = jax.random.normal(jax.random.PRNGKey(9), (2, 1, 8))
+        ar = model.apply({"params": params}, jax.random.PRNGKey(0), 96, 2,
+                         z, GREEDY, method=model.sample)
+        sp, _ = model.apply(
+            {"params": params}, jax.random.PRNGKey(0), 96, 2, z, GREEDY,
+            window_tokens=32, method=model.speculative_generate)
+        np.testing.assert_array_equal(np.asarray(ar), np.asarray(sp))
+
+    def test_sampled_marginals_match_analytic(self, sparse_lm):
+        """Distributional exactness, end to end: the empirical marginals of
+        the first two generated tokens over a large iid batch must match
+        the ANALYTIC marginals of the modified (temperature + top-p)
+        ancestral distribution — the law the AR sampler draws from."""
+        model, params = sparse_lm
+        V = model.hparams.vocab_size
+        sampling = SamplingParams(temperature=1.0, top_p=0.9,
+                                  repetition_penalty=1.0)
+        B, L = 8192, 32
+        out, _ = model.apply(
+            {"params": params}, jax.random.PRNGKey(11), L, B, sampling,
+            window_tokens=32, method=model.speculative_generate)
+        out = np.asarray(out)                       # [B, L-1], sans [CLS]
+
+        def modified_dist(prefix):
+            """Analytic filtered next-token distribution given a prefix."""
+            from sparse_vae_tpu.models.parallel_decode import _filter_logits
+            toks = jnp.asarray(prefix, jnp.int32)[None, :]
+            h = model.apply({"params": params}, toks,
+                            method=model.forward_hidden)
+            logits = model.apply({"params": params}, h[:, -1],
+                                 method=model.project).astype(jnp.float32)
+            lf = _filter_logits(logits, sampling)
+            return np.asarray(jax.nn.softmax(lf, axis=-1))[0]
+
+        p1 = modified_dist([1])                     # token 1 | [CLS]
+        emp1 = np.bincount(out[:, 0], minlength=V) / B
+        assert np.abs(emp1 - p1).sum() < 0.10, np.abs(emp1 - p1).sum()
+
+        # Marginal of token 2: sum over the (few) t1 in the nucleus.
+        p2 = np.zeros(V)
+        for t1 in np.nonzero(p1 > 1e-6)[0]:
+            if t1 == 2:                             # end: position 2 is PAD
+                p2[0] += p1[t1]
+            else:
+                p2 += p1[t1] * modified_dist([1, int(t1)])
+        emp2 = np.bincount(out[:, 1], minlength=V) / B
+        assert np.abs(emp2 - p2).sum() < 0.10, np.abs(emp2 - p2).sum()
+
+    def test_sampled_draft_accelerates(self, sparse_lm):
+        """The point of the mode: on sampled decoding the suffix-match
+        draft must finalize MORE than one token per pass on average (the
+        Jacobi sampler measures ~1.04) whenever acceptances occur; at
+        minimum the pass count never exceeds the AR bound L-1."""
+        model, params = sparse_lm
+        sampling = SamplingParams(temperature=1.0, top_p=0.9,
+                                  repetition_penalty=1.2)
+        L = 128
+        _, iters = model.apply(
+            {"params": params}, jax.random.PRNGKey(3), L, 2, sampling,
+            window_tokens=64, method=model.speculative_generate)
+        assert int(iters) <= L - 1, int(iters)
+
+    def test_rejects_dense_config(self, lm):
+        model, params = lm
+        with pytest.raises(ValueError, match="sparse"):
+            model.apply({"params": params}, jax.random.PRNGKey(0), 32, 1,
+                        GREEDY, method=model.speculative_generate)
