@@ -459,19 +459,85 @@ class TestFrontierSpeculative:
         emp2 = np.bincount(out[:, 1], minlength=V) / B
         assert np.abs(emp2 - p2).sum() < 0.10, np.abs(emp2 - p2).sum()
 
-    def test_sampled_draft_accelerates(self, sparse_lm):
-        """The point of the mode: on sampled decoding the suffix-match
-        draft must finalize MORE than one token per pass on average (the
-        Jacobi sampler measures ~1.04) whenever acceptances occur; at
-        minimum the pass count never exceeds the AR bound L-1."""
+    def test_sampled_pass_count_bounded(self, sparse_lm):
+        """Every pass finalizes a token for every live row or advances the
+        frozen frontier a block, so the pass count is bounded by
+        L(1 + 1/window_blocks) — and never hits the default max_iters cap
+        (hitting it would silently emit unverified draft)."""
         model, params = sparse_lm
         sampling = SamplingParams(temperature=1.0, top_p=0.9,
                                   repetition_penalty=1.2)
-        L = 128
+        L, W, bs = 128, 64, 32
         _, iters = model.apply(
             {"params": params}, jax.random.PRNGKey(3), L, 2, sampling,
-            window_tokens=64, method=model.speculative_generate)
-        assert int(iters) <= L - 1, int(iters)
+            window_tokens=W, method=model.speculative_generate)
+        assert int(iters) < L + L // (W // bs) + 2, int(iters)
+
+    def test_all_position_marginals_context_free(self):
+        """The decisive distribution regression: a context-free model
+        (constant logits) makes EVERY position's modified target identical,
+        so the pooled empirical marginal over all positions and a batch>1
+        must match analytically. This pins the per-row-finality contract:
+        the first (batch-min) implementation re-verified uncovered
+        resamples with already-consumed coins and deviated by L1 ~0.2
+        here; the per-row version sits at Monte-Carlo noise."""
+        from sparse_vae_tpu.models.parallel_decode import \
+            frontier_speculative_decode
+
+        V, B, L, bs, W = 4, 4, 16, 4, 8
+        base = jnp.array([1.0, 0.5, 0.0, -0.5], jnp.float32)
+        p = np.asarray(jax.nn.softmax(base))
+        sampling = SamplingParams(temperature=1.0, top_p=1.0,
+                                  repetition_penalty=1.0)
+
+        def whf(win, caches, f):
+            return jnp.zeros((B, win.shape[1], 1), jnp.float32), ()
+
+        def run(rng):
+            out, _ = frontier_speculative_decode(
+                whf, lambda h: jnp.broadcast_to(base,
+                                                h.shape[:-1] + (V,)),
+                lambda c, kv, off: c, (), B, L, rng, sampling,
+                start_token=1, end_token=-1, window_tokens=W,
+                block_size=bs, draft_ngram=0)
+            return out
+
+        rngs = jax.random.split(jax.random.PRNGKey(0), 8000)
+        outs = np.asarray(jax.jit(jax.vmap(run))(rngs))     # [N, B, L]
+        toks = outs[:, :, 1:L - 1].reshape(-1)  # skip [CLS] + forced-PAD
+        emp = np.bincount(toks, minlength=V) / toks.size
+        assert np.abs(emp - p).sum() < 0.02, (emp, p)
+
+    def test_single_block_window_completes(self):
+        """W == block_size is the catch-up-pass regime (a pass that
+        finalizes nothing while the frontier catches up): the default
+        max_iters must still let every row converge — the default-cap
+        output must equal a generous-cap run exactly (truncation at the
+        cap would silently leave unverified draft in the output)."""
+        from sparse_vae_tpu.models.parallel_decode import \
+            frontier_speculative_decode
+
+        V, B, L, bs = 4, 8, 32, 4
+        base = jnp.array([1.0, 0.5, 0.0, -0.5], jnp.float32)
+        sampling = SamplingParams(temperature=1.0, top_p=1.0,
+                                  repetition_penalty=1.0)
+
+        def whf(win, caches, f):
+            return jnp.zeros((B, win.shape[1], 1), jnp.float32), ()
+
+        def run(rng, mi):
+            return frontier_speculative_decode(
+                whf, lambda h: jnp.broadcast_to(base,
+                                                h.shape[:-1] + (V,)),
+                lambda c, kv, off: c, (), B, L, rng, sampling,
+                start_token=1, end_token=-1, window_tokens=bs,
+                block_size=bs, max_iters=mi, draft_ngram=0)
+
+        rngs = jax.random.split(jax.random.PRNGKey(1), 512)
+        o1, it1 = jax.jit(jax.vmap(lambda r: run(r, None)))(rngs)
+        o2, _ = jax.jit(jax.vmap(lambda r: run(r, 10 * L)))(rngs)
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+        assert int(np.asarray(it1).max()) < 2 * L + 2
 
     def test_rejects_dense_config(self, lm):
         model, params = lm
