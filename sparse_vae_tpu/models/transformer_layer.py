@@ -41,6 +41,17 @@ class TransformerLayer(nn.Module):
     sp_size: int = 1
     sp_axis: str = "seq"
     sp_cross_only: bool = False
+    # Mixture-of-Experts FFN (models/moe.py): num_experts > 1 replaces the
+    # dense 4x GELU FFN with E expert FFNs behind a learned top-k router.
+    # ep_size > 1 only on the expert-parallel twin (parallel/ep.py).
+    num_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    ep_size: int = 1
+
+    @property
+    def is_moe(self) -> bool:
+        return self.num_experts > 1
 
     def setup(self):
         self.attention = Attention(
@@ -53,10 +64,24 @@ class TransformerLayer(nn.Module):
             sp_size=1 if self.sp_cross_only else self.sp_size,
             sp_axis=self.sp_axis)
         init = dense_kernel_init(0.02)
-        self.ffn_in = nn.Dense(self.d_model * 4 // self.tp_size,
-                               kernel_init=init, dtype=self.dtype)
-        self.ffn_out = nn.Dense(self.d_model, use_bias=False,
-                                kernel_init=init, dtype=self.dtype)
+        if self.is_moe:
+            if self.tp_size > 1:
+                raise ValueError(
+                    "MoE + tensor parallelism is not supported: shard "
+                    "experts over an 'expert' axis (parallel/ep.py) "
+                    "instead of splitting each expert over 'model'")
+            from .moe import MoEFFN
+            self.moe = MoEFFN(d_model=self.d_model,
+                              d_hidden=self.d_model * 4,
+                              num_experts=self.num_experts,
+                              top_k=self.moe_top_k,
+                              capacity_factor=self.moe_capacity_factor,
+                              dtype=self.dtype, ep_size=self.ep_size)
+        else:
+            self.ffn_in = nn.Dense(self.d_model * 4 // self.tp_size,
+                                   kernel_init=init, dtype=self.dtype)
+            self.ffn_out = nn.Dense(self.d_model, use_bias=False,
+                                    kernel_init=init, dtype=self.dtype)
         self.dropout = nn.Dropout(rate=self.dropout_rate)
         self.attn_layer_norm = nn.LayerNorm(dtype=self.dtype)
         self.ffn_layer_norm = nn.LayerNorm(dtype=self.dtype)
@@ -78,9 +103,11 @@ class TransformerLayer(nn.Module):
             self.cross_attn_layer_norm = nn.LayerNorm(dtype=self.dtype)
             self.context_layer_norm = nn.LayerNorm(dtype=self.dtype)
 
-    def _ffn(self, x, deterministic):
+    def _ffn(self, x, deterministic, mask=None):
         y = self.ffn_layer_norm(x)
-        if self.tp_size > 1:
+        if self.is_moe:
+            y = self.moe(y, mask=mask)
+        elif self.tp_size > 1:
             from ..parallel.tp import reduce_activations, replicate_gradient
             y = replicate_gradient(y, self.tp_axis)       # column-parallel in
             y = self.ffn_out(nn.gelu(self.ffn_in(y)))     # partial (bias-free)
@@ -107,7 +134,7 @@ class TransformerLayer(nn.Module):
             y = self.cross_attention(y, ctx, kv_mask=context_mask)
             x = x + y
 
-        return self._ffn(x, deterministic)
+        return self._ffn(x, deterministic, mask=mask)
 
     def window_decode(self, x, cache, start):
         """Active-window pass for frontier Jacobi decoding: like __call__

@@ -61,6 +61,18 @@ class TransformerHparams(LanguageModelHparams):
     # softmax partials, labels shift across shard boundaries. The scaling
     # axis for the pg19 long-document regime (batch 1 x 102,400 tokens).
     sp_size: int = 1
+    # Mixture-of-Experts decoder FFNs (models/moe.py; beyond-reference):
+    # num_experts > 1 swaps every decoder layer's dense FFN for E expert
+    # FFNs behind a learned top-k router, with the load-balance and router
+    # z losses weighted below (0 disables a term). ep_size is set only on
+    # the expert-parallel twin (parallel.ep.ep_localize) running inside
+    # shard_map on a mesh with an 'expert' axis.
+    num_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_aux_weight: float = 1e-2
+    moe_zloss_weight: float = 1e-3
+    ep_size: int = 1
 
 
 def decoder_layer_module(hp, dtype, cls=TransformerLayer, name=None):
@@ -68,13 +80,21 @@ def decoder_layer_module(hp, dtype, cls=TransformerLayer, name=None):
     shared with the pipeline stage function (parallel/pp.py) so the layer
     configuration can never drift between the production and pipelined
     decoders. `cls` admits the nn.remat-wrapped class."""
+    if getattr(hp, "num_experts", 0) > 1 and hp.tp_size > 1:
+        raise ValueError(
+            "MoE + tensor parallelism is not supported: shard experts "
+            "over an 'expert' axis (parallel/ep.py) instead")
     return cls(d_model=hp.d_model, num_heads=hp.num_heads, causal=True,
                sparse_self_attention=hp.sparse_self_attention,
                window_size=hp.attn_window_size,
                block_size=hp.attn_block_size,
                use_cross_attention=hp.cross_attention,
                use_pallas_kernel=hp.use_pallas_kernel, dtype=dtype,
-               tp_size=hp.tp_size, sp_size=hp.sp_size, name=name)
+               tp_size=hp.tp_size, sp_size=hp.sp_size,
+               num_experts=getattr(hp, "num_experts", 0),
+               moe_top_k=getattr(hp, "moe_top_k", 2),
+               moe_capacity_factor=getattr(hp, "moe_capacity_factor", 1.25),
+               ep_size=getattr(hp, "ep_size", 1), name=name)
 
 
 def checkpoint_policy(name: str):

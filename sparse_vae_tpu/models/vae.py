@@ -122,6 +122,15 @@ class VAEObjective:
         # choice for this model family.
         rngs = {"dropout": drop_rng, "sample": sample_rng}
         if getattr(self.hp, "train_mc_samples", 1) > 1:
+            if getattr(self.hp, "num_experts", 0) > 1:
+                # The K-sample bound vmaps the decoder over z samples;
+                # routing/capacity would differ per sample and the balance
+                # sums would need an extra vmapped-sow reduction. Fail
+                # loudly rather than silently dropping the aux losses.
+                raise ValueError(
+                    "MoE (num_experts > 1) requires train_mc_samples=1: "
+                    "the multi-sample bound does not collect the MoE "
+                    "balance losses")
             if getattr(self.hp, "free_bits", 0.0) > 0.0:
                 # The IWAE/DReG objective has no separate KL term to floor
                 # (KL lives inside each importance weight), so a free-bits
@@ -132,13 +141,32 @@ class VAEObjective:
                     "sample (IWAE/DReG) objective has no per-dimension KL "
                     "term to clamp")
             return self._multi_sample_sums(module, params, batch, rngs)
+        moe_stats = None
+        moe_on = getattr(self.hp, "num_experts", 0) > 1
         if getattr(self.hp, "loss_chunk_size", 0) and hasattr(
                 type(module), "forward_chunked_nll"):
             # Long-document path: fused projection+CE over sequence chunks,
             # full [B, L, V] logits never materialize (ops/cross_entropy.py).
-            nll_sum, count, raw_kl, posterior, z = module.apply(
+            if moe_on:
+                from .moe import collect_moe_stats
+                (nll_sum, count, raw_kl, posterior, z), lvars = module.apply(
+                    {"params": params}, batch["token_ids"], rngs=rngs,
+                    mutable=["losses"],
+                    method=type(module).forward_chunked_nll)
+                moe_stats = collect_moe_stats(lvars.get("losses", {}))
+            else:
+                nll_sum, count, raw_kl, posterior, z = module.apply(
+                    {"params": params}, batch["token_ids"], rngs=rngs,
+                    method=type(module).forward_chunked_nll)
+        elif moe_on:
+            from .moe import collect_moe_stats
+            (logits, raw_kl, posterior, z), lvars = module.apply(
                 {"params": params}, batch["token_ids"], rngs=rngs,
-                method=type(module).forward_chunked_nll)
+                mutable=["losses"])
+            moe_stats = collect_moe_stats(lvars.get("losses", {}))
+            nll, mask = token_nll(logits[:, :-1], batch["token_ids"][:, 1:],
+                                  reduce=False)
+            nll_sum, count = jnp.sum(nll), jnp.sum(mask).astype(jnp.float32)
         else:
             logits, raw_kl, posterior, z = module.apply(
                 {"params": params}, batch["token_ids"], rngs=rngs)
@@ -165,6 +193,9 @@ class VAEObjective:
                 jax.lax.stop_gradient(posterior.scale))
             sums["marginal_kl_rows"] = jax.lax.stop_gradient(
                 marginal_kl(detached, mi_rng, self.mi_samples)) * rows
+        if moe_stats is not None:
+            from .moe import moe_loss_terms
+            moe_loss_terms(moe_stats, sums, counts)
         return sums, counts
 
     def compose_loss(self, sums, counts, step
@@ -183,6 +214,14 @@ class VAEObjective:
         if "marginal_kl_rows" in sums:
             metrics["train_mc_mutual_info"] = kl - (
                 sums["marginal_kl_rows"] / rows)
+        if "moe_imp_sum" in sums:
+            from .moe import compose_moe_losses
+            extra, moe_metrics = compose_moe_losses(
+                sums, counts,
+                getattr(self.hp, "moe_aux_weight", 1e-2),
+                getattr(self.hp, "moe_zloss_weight", 1e-3))
+            loss = loss + extra
+            metrics.update(moe_metrics)
         return loss, metrics
 
     def loss(self, module, params, batch, step, rng

@@ -46,7 +46,8 @@ def create_mesh(num_devices: Optional[int] = None,
                 model_axis: int = 1,
                 devices: Optional[Sequence] = None,
                 seq_axis: int = 1,
-                pipe_axis: int = 1) -> Mesh:
+                pipe_axis: int = 1,
+                expert_axis: int = 1) -> Mesh:
     """(data[, seq], model) mesh over the available devices.
 
     model_axis=1 => pure data parallelism (the default; the reference models
@@ -62,13 +63,24 @@ def create_mesh(num_devices: Optional[int] = None,
     — innermost, so each stage's activation hand-off (one ppermute per
     pipeline tick) also rides nearest-neighbor links. pp currently composes
     with 'data' only.
+    expert_axis>1 adds an 'expert' axis for expert parallelism
+    (parallel/ep.py) — innermost, so the MoE dispatch all_to_all rides
+    nearest-neighbor links; batch rows shard over ('data', 'expert')
+    jointly. ep composes with 'data' only.
     """
     devices = list(devices) if devices is not None else jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
     n = len(devices)
-    assert n % (model_axis * seq_axis * pipe_axis) == 0, (
-        n, model_axis, seq_axis, pipe_axis)
+    assert n % (model_axis * seq_axis * pipe_axis * expert_axis) == 0, (
+        n, model_axis, seq_axis, pipe_axis, expert_axis)
+    if expert_axis > 1:
+        if model_axis > 1 or seq_axis > 1 or pipe_axis > 1:
+            raise NotImplementedError(
+                "expert parallelism composes with the 'data' axis only "
+                "(parallel/ep.py scope note)")
+        grid = np.asarray(devices).reshape(n // expert_axis, expert_axis)
+        return Mesh(grid, axis_names=("data", "expert"))
     if pipe_axis > 1:
         if model_axis > 1 or seq_axis > 1:
             raise NotImplementedError(

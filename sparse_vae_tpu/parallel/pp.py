@@ -207,6 +207,15 @@ def make_pp_train_step(module, objective, optimizer, mesh: Mesh,
     if getattr(hp, "tp_size", 1) > 1 or getattr(hp, "sp_size", 1) > 1:
         raise NotImplementedError("pp composes with 'data' only for now — "
                                   "pass the plain (non-tp/sp) module")
+    if getattr(hp, "num_experts", 0) > 1:
+        # The staged scan applies layers directly, so the MoE balance
+        # statistics (sown through module.apply in the production
+        # objectives) would be silently DROPPED — the model would train
+        # without its load-balance loss. Refuse rather than drift.
+        raise NotImplementedError(
+            "MoE decoders are not pipelined (the staged scan does not "
+            "collect the sown balance losses); use the data- or "
+            "expert-parallel step (parallel/ep.py)")
     pp = pipe_size(mesh)
     if pp <= 1:
         raise ValueError("mesh has no 'pipe' axis > 1 — use "

@@ -38,19 +38,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 SEQ_AXIS = "seq"
+EXPERT_AXIS = "expert"
 
 
 def seq_size(mesh: Optional[Mesh]) -> int:
     return mesh.shape.get(SEQ_AXIS, 1) if mesh is not None else 1
 
 
+def ep_size(mesh: Optional[Mesh]) -> int:
+    return mesh.shape.get(EXPERT_AXIS, 1) if mesh is not None else 1
+
+
 def batch_specs(mesh: Mesh, stacked: bool = False) -> dict:
     """PartitionSpecs for a batch dict: rows sharded over 'data'; when the
     mesh has a 'seq' axis, token_ids' LENGTH axis is additionally sharded
     over it (sequence parallelism, parallel/sp.py) while the per-row
-    num_tokens/num_bytes stay replicated across 'seq'."""
+    num_tokens/num_bytes stay replicated across 'seq'. On an expert mesh
+    the rows are sharded over ('data', 'expert') jointly — the non-MoE
+    compute is pure DP over all devices (parallel/ep.py)."""
     lead = (None,) if stacked else ()
-    row = P(*lead, DATA_AXIS)
+    row = P(*lead, (DATA_AXIS, EXPERT_AXIS)) if ep_size(mesh) > 1 \
+        else P(*lead, DATA_AXIS)
     tok = P(*lead, DATA_AXIS, SEQ_AXIS) if seq_size(mesh) > 1 else row
     return {"token_ids": tok, "num_tokens": row, "num_bytes": row}
 
@@ -170,6 +178,25 @@ def _seq_setup(module, objective, mesh: Optional[Mesh]):
     return objective, red_axes
 
 
+def _ep_setup(module, mesh: Optional[Mesh]) -> int:
+    """'expert'-axis wiring shared by the train and eval steps: validates
+    the ep-localized module and the axis combination (EP composes with
+    'data' only for now), and extends the sum/stat reduction axes — batch
+    rows are sharded over ('data', 'expert') jointly (batch_specs)."""
+    ep = ep_size(mesh)
+    if ep <= 1:
+        return 1
+    if mesh.shape.get("model", 1) > 1 or seq_size(mesh) > 1:
+        raise NotImplementedError(
+            "expert parallelism composes with the 'data' axis only")
+    if getattr(module.hparams, "ep_size", 1) != ep:
+        raise ValueError(
+            f"mesh has expert={ep} but the module's ep_size is "
+            f"{getattr(module.hparams, 'ep_size', 1)} — pass the "
+            "ep_localize'd twin (parallel/ep.py)")
+    return ep
+
+
 def make_train_step(module, objective, optimizer,
                     mesh: Optional[Mesh] = None):
     """Build the jitted optimizer step.
@@ -208,8 +235,14 @@ def make_train_step(module, objective, optimizer,
     else:
         tp_sv = False
     # The loss-sum / gradient reduction axes: 'data' always; 'seq' too when
-    # the length axis is sharded (each shard's sums/grads cover its tokens).
+    # the length axis is sharded (each shard's sums/grads cover its tokens);
+    # 'expert' too when batch rows are sharded over it (parallel/ep.py) —
+    # except expert-sharded param grads, which are already 'expert'-complete
+    # after the in-layer all_to_all and psum over 'data' alone.
     objective, red_axes = _seq_setup(module, objective, mesh)
+    n_experts = _ep_setup(module, mesh)
+    if n_experts > 1:
+        red_axes = (DATA_AXIS, EXPERT_AXIS)
 
     def micro_grads(params, mb, step, rng):
         if mesh is None:
@@ -244,7 +277,12 @@ def make_train_step(module, objective, optimizer,
 
     def core(params, opt_state, batch, step, rng):
         if mesh is not None:
-            rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+            shard = jax.lax.axis_index(DATA_AXIS)
+            if n_experts > 1:
+                # Rows shard over ('data', 'expert') jointly: every device
+                # holds distinct rows and needs a distinct stream.
+                shard = shard * n_experts + jax.lax.axis_index(EXPERT_AXIS)
+            rng = jax.random.fold_in(rng, shard)
         k = batch["token_ids"].shape[0]
         rngs = jax.random.split(rng, k)
         if k == 1:
@@ -264,12 +302,25 @@ def make_train_step(module, objective, optimizer,
             # One collective per optimizer step: the grads of the psum'd
             # losses are partial (each device holds its shard's terms —
             # batch rows over 'data', token positions over 'seq').
-            grads = jax.lax.psum(grads, red_axes)
+            if n_experts > 1:
+                # Expert-sharded stacks are 'expert'-complete already (the
+                # all_to_all routed every peer's tokens through this
+                # shard's experts); psum them over 'data' only.
+                from .ep import ep_sharded_mask
+                grads = jax.tree.map(
+                    lambda g, is_ep: jax.lax.psum(
+                        g, (DATA_AXIS,) if is_ep else red_axes),
+                    grads, ep_sharded_mask(grads))
+            else:
+                grads = jax.lax.psum(grads, red_axes)
         grads = jax.tree.map(lambda g: g / k, grads)
         if tp_size > 1:
             from .tp import tp_global_norm, tp_sharded_mask
             metrics["grad_norm"] = tp_global_norm(
                 grads, tp_sharded_mask(grads, tp_size, tp_sv))
+        elif n_experts > 1:
+            from .ep import ep_global_norm
+            metrics["grad_norm"] = ep_global_norm(grads)
         else:
             metrics["grad_norm"] = optax.global_norm(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -281,7 +332,7 @@ def make_train_step(module, objective, optimizer,
 
     rep = P()
     b_specs = batch_specs(mesh, stacked=True)
-    if tp_size == 1:
+    if tp_size == 1 and n_experts == 1:
         mapped = jax.shard_map(
             core, mesh=mesh,
             in_specs=(rep, rep, b_specs, rep, rep),
@@ -290,15 +341,21 @@ def make_train_step(module, objective, optimizer,
         )
         return jax.jit(mapped, donate_argnums=(0, 1))
 
-    # 2-D mesh: the param/opt-state specs depend on the pytree structure,
-    # which is only known at the first call — build the shard_map lazily.
-    from .tp import tp_param_specs
+    # Param-sharded mesh (tensor- or expert-parallel): the param/opt-state
+    # specs depend on the pytree structure, which is only known at the
+    # first call — build the shard_map lazily.
+    if tp_size > 1:
+        from .tp import tp_param_specs
+        spec_fn = lambda tree: tp_param_specs(tree, tp_size, tp_sv)
+    else:
+        from .ep import ep_param_specs
+        spec_fn = ep_param_specs
     cache = {}
 
     def step_fn(params, opt_state, batch, step, rng):
         if "fn" not in cache:
-            p_specs = tp_param_specs(params, tp_size, tp_sv)
-            o_specs = tp_param_specs(opt_state, tp_size, tp_sv)
+            p_specs = spec_fn(params)
+            o_specs = spec_fn(opt_state)
             mapped = jax.shard_map(
                 core, mesh=mesh,
                 in_specs=(p_specs, o_specs, b_specs, rep, rep),
@@ -323,6 +380,9 @@ def make_eval_step(module, objective, mesh: Optional[Mesh] = None):
     else:
         tp_sv = False
     objective, red_axes = _seq_setup(module, objective, mesh)
+    n_experts = _ep_setup(module, mesh)
+    if n_experts > 1:
+        red_axes = (DATA_AXIS, EXPERT_AXIS)
 
     def core(params, batch, rng):
         stats = objective.eval_stats(module, params, batch, rng)
@@ -335,7 +395,7 @@ def make_eval_step(module, objective, mesh: Optional[Mesh] = None):
 
     rep = P()
     b_specs = batch_specs(mesh, stacked=False)
-    if tp_size == 1:
+    if tp_size == 1 and n_experts == 1:
         mapped = jax.shard_map(
             core, mesh=mesh,
             in_specs=(rep, b_specs, rep),
@@ -344,12 +404,17 @@ def make_eval_step(module, objective, mesh: Optional[Mesh] = None):
         )
         return jax.jit(mapped)
 
-    from .tp import tp_param_specs
+    if tp_size > 1:
+        from .tp import tp_param_specs
+        spec_fn = lambda tree: tp_param_specs(tree, tp_size, tp_sv)
+    else:
+        from .ep import ep_param_specs
+        spec_fn = ep_param_specs
     cache = {}
 
     def eval_fn(params, batch, rng):
         if "fn" not in cache:
-            p_specs = tp_param_specs(params, tp_size, tp_sv)
+            p_specs = spec_fn(params)
             mapped = jax.shard_map(
                 core, mesh=mesh,
                 in_specs=(p_specs, b_specs, rep),

@@ -59,6 +59,10 @@ class ARObjective:
         return (getattr(self.hp, "loss_chunk_size", 0)
                 and hasattr(type(module), "forward_hidden"))
 
+    @staticmethod
+    def _moe_on(module) -> bool:
+        return getattr(module.hparams, "num_experts", 0) > 1
+
     def _chunked_stats(self, module, params, batch, rng=None):
         if rng is not None and getattr(module.hparams, "sp_size", 1) > 1:
             # Sequence shards hold different token slices: an unfolded
@@ -67,17 +71,30 @@ class ARObjective:
             # folds — sample-type streams must stay replicated.
             rng = jax.random.fold_in(rng, jax.lax.axis_index("seq"))
         rngs = {"dropout": rng} if rng is not None else {}
-        hidden = module.apply({"params": params}, batch["token_ids"],
-                              rngs=rngs, deterministic=rng is None,
-                              method=type(module).forward_hidden)
+        moe_stats = None
+        if self._moe_on(module):
+            # MoE layers sow their balance statistics into the "losses"
+            # collection (models/moe.py); collect them alongside the hidden
+            # states. Non-MoE configs skip the mutable plumbing entirely.
+            from ..models.moe import collect_moe_stats
+            hidden, lvars = module.apply(
+                {"params": params}, batch["token_ids"], rngs=rngs,
+                deterministic=rng is None, mutable=["losses"],
+                method=type(module).forward_hidden)
+            moe_stats = collect_moe_stats(lvars.get("losses", {}))
+        else:
+            hidden = module.apply({"params": params}, batch["token_ids"],
+                                  rngs=rngs, deterministic=rng is None,
+                                  method=type(module).forward_hidden)
         # Full-length hidden + end-padded shifted labels: avoids slicing
         # (= copying) the whole [B, L, D] tensor (see shifted_labels). Under
         # sequence parallelism labels_for shifts across shard boundaries.
         labels = module.labels_for(batch["token_ids"]) \
             if hasattr(module, "labels_for") \
             else type(module).shifted_labels(batch["token_ids"])
-        return module.apply({"params": params}, hidden, labels,
-                            method=type(module).sequence_nll)
+        nll_sum, count = module.apply({"params": params}, hidden, labels,
+                                      method=type(module).sequence_nll)
+        return nll_sum, count, moe_stats
 
     def loss_sums(self, module, params, batch, step, rng
                   ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
@@ -85,20 +102,45 @@ class ARObjective:
         compose_loss. The data-parallel step psums both before composing so
         the sharded loss/gradient is the exact global per-token mean even
         when shards carry unequal real-token counts."""
+        moe_stats = None
         if self._chunked(module):
-            nll_sum, count = self._chunked_stats(module, params, batch, rng)
+            nll_sum, count, moe_stats = self._chunked_stats(
+                module, params, batch, rng)
+        elif self._moe_on(module):
+            from ..models.moe import collect_moe_stats
+            logits, lvars = module.apply(
+                {"params": params}, batch["token_ids"],
+                rngs={"dropout": rng}, mutable=["losses"])
+            moe_stats = collect_moe_stats(lvars.get("losses", {}))
+            nll, mask = token_nll(logits[:, :-1], batch["token_ids"][:, 1:],
+                                  reduce=False)
+            nll_sum, count = jnp.sum(nll), jnp.sum(mask).astype(jnp.float32)
         else:
             logits = module.apply({"params": params}, batch["token_ids"],
                                   rngs={"dropout": rng})
             nll, mask = token_nll(logits[:, :-1], batch["token_ids"][:, 1:],
                                   reduce=False)
             nll_sum, count = jnp.sum(nll), jnp.sum(mask).astype(jnp.float32)
-        return {"nll_sum": nll_sum}, {"token_count": count}
+        sums = {"nll_sum": nll_sum}
+        counts = {"token_count": count}
+        if moe_stats is not None:
+            from ..models.moe import moe_loss_terms
+            moe_loss_terms(moe_stats, sums, counts)
+        return sums, counts
 
     def compose_loss(self, sums, counts, step
                      ) -> Tuple[jax.Array, Dict[str, Any]]:
         nll = sums["nll_sum"] / jnp.maximum(counts["token_count"], 1.0)
-        return nll, {"train_nll": nll}
+        loss, metrics = nll, {"train_nll": nll}
+        if "moe_imp_sum" in sums:
+            from ..models.moe import compose_moe_losses
+            extra, moe_metrics = compose_moe_losses(
+                sums, counts,
+                getattr(self.hp, "moe_aux_weight", 1e-2),
+                getattr(self.hp, "moe_zloss_weight", 1e-3))
+            loss = nll + extra
+            metrics.update(moe_metrics)
+        return loss, metrics
 
     def loss(self, module, params, batch, step, rng
              ) -> Tuple[jax.Array, Dict[str, Any]]:
@@ -107,7 +149,8 @@ class ARObjective:
 
     def eval_stats(self, module, params, batch, rng) -> Dict[str, jax.Array]:
         if self._chunked(module):
-            nll_sum, token_count = self._chunked_stats(module, params, batch)
+            nll_sum, token_count, _ = self._chunked_stats(
+                module, params, batch)
         else:
             logits = module.apply({"params": params}, batch["token_ids"])
             nll, mask = token_nll(logits[:, :-1],

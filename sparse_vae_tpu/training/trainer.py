@@ -91,13 +91,22 @@ class Trainer:
                            * self.thp.accumulate_grad_batches)
         lr = scaled_lr(self.hp.lr, tokens_per_step, self.hp.base_batch_size)
         self._tp_size = mesh.shape.get("model", 1) if mesh is not None else 1
+        self._ep_size = mesh.shape.get("expert", 1) if mesh is not None \
+            else 1
         from ..parallel.tp import shards_vocab
         self._tp_shard_vocab = shards_vocab(self.hp, self._tp_size)
+        ep_clip = None
+        if self._ep_size > 1:
+            # Expert-sharded grads need their norms psum'd over 'expert'
+            # for the global-norm clip to agree across shards.
+            from ..parallel.ep import clip_by_ep_global_norm
+            ep_clip = clip_by_ep_global_norm(self.hp.grad_clip_threshold)
         self.optimizer = make_optimizer(
             lr=lr, lr_decay_steps=self.hp.lr_decay_steps,
             grad_clip_threshold=self.hp.grad_clip_threshold,
             weight_decay=self.hp.weight_decay, lamb=self.hp.lamb,
-            tp_size=self._tp_size, tp_shard_vocab=self._tp_shard_vocab)
+            tp_size=self._tp_size, tp_shard_vocab=self._tp_shard_vocab,
+            clip=ep_clip)
 
         from ..parallel.spmd import make_eval_step, make_train_step
         # On a multi-axis mesh the train/eval steps run the localized twin
@@ -124,12 +133,16 @@ class Trainer:
                 self._pad_multiple = math.lcm(cur, need)
                 print(f"seq_parallel={self._sp_size}: padding batch lengths "
                       f"to multiples of {self._pad_multiple} (was {cur})")
-        step_module = sp_localize(tp_localize(module, self._tp_size),
-                                  self._sp_size)
+        from ..parallel.ep import ep_localize
+        step_module = ep_localize(
+            sp_localize(tp_localize(module, self._tp_size), self._sp_size),
+            self._ep_size)
         self._train_step = make_train_step(step_module, objective,
                                            self.optimizer, mesh=mesh)
         self._eval_step = make_eval_step(step_module, objective, mesh=mesh)
-        self._rows_multiple = mesh.shape["data"] if mesh is not None else 1
+        # Rows shard over 'data' — and jointly over 'expert' on an EP mesh.
+        self._rows_multiple = (mesh.shape["data"] * self._ep_size
+                               if mesh is not None else 1)
 
     # -- setup --------------------------------------------------------------
     def init_state(self, rng):
@@ -139,12 +152,18 @@ class Trainer:
         if self.mesh is not None:
             # tp_shardings degenerates to full replication at model axis 1;
             # with model > 1 the TP-sharded leaves (attention/FFN kernels,
-            # learned-query banks) are distributed over 'model'.
-            from ..parallel.tp import tp_shardings
-            p_sh = tp_shardings(params, self.mesh, self._tp_size,
-                                self._tp_shard_vocab)
-            o_sh = tp_shardings(opt_state, self.mesh, self._tp_size,
-                                self._tp_shard_vocab)
+            # learned-query banks) are distributed over 'model'. On an
+            # expert mesh the MoE stacks shard over 'expert' instead.
+            if self._ep_size > 1:
+                from ..parallel.ep import ep_shardings
+                p_sh = ep_shardings(params, self.mesh)
+                o_sh = ep_shardings(opt_state, self.mesh)
+            else:
+                from ..parallel.tp import tp_shardings
+                p_sh = tp_shardings(params, self.mesh, self._tp_size,
+                                    self._tp_shard_vocab)
+                o_sh = tp_shardings(opt_state, self.mesh, self._tp_size,
+                                    self._tp_shard_vocab)
             params = jax.tree.map(jax.device_put, params, p_sh)
             opt_state = jax.tree.map(
                 lambda x, s: jax.device_put(x, s) if hasattr(x, "ndim")

@@ -137,7 +137,10 @@ class TrainerHparams:
     # scaling axis for the pg19 batch-1 long-document regime);
     # model_parallel>1 shards attention heads / FFN inner dim / tied vocab
     # (parallel/tp.py).
+    # expert_parallel>1 shards MoE expert stacks over an 'expert' axis
+    # (parallel/ep.py; requires a num_experts>1 model config).
     seq_parallel: int = 1
     model_parallel: int = 1
+    expert_parallel: int = 1
     seed: int = 7295                   # ref train.py:15
     profile_steps: int = 0             # >0: jax.profiler trace of steps 3..3+N

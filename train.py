@@ -50,7 +50,8 @@ def main(args):
     n = cfg.trainer.num_devices or len(devices)
     mesh = create_mesh(num_devices=n, devices=devices,
                        seq_axis=cfg.trainer.seq_parallel,
-                       model_axis=cfg.trainer.model_parallel) \
+                       model_axis=cfg.trainer.model_parallel,
+                       expert_axis=cfg.trainer.expert_parallel) \
         if n > 1 else None
     if mesh is not None:
         print(f"Mesh: {dict(mesh.shape)} over {devices[:n]}")
