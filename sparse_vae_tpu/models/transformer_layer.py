@@ -136,32 +136,36 @@ class TransformerLayer(nn.Module):
 
         return self._ffn(x, deterministic, mask=mask)
 
-    def window_decode(self, x, cache, start):
+    def window_decode(self, x, cache, start, mask=None):
         """Active-window pass for frontier Jacobi decoding: like __call__
         restricted to absolute positions start..start+W-1, attending the
-        frozen-prefix window cache. Returns (out [B, W, D], window (k, v))."""
+        frozen-prefix window cache. Returns (out [B, W, D], window (k, v)).
+        mask ([B, W], True = real token) matters only for MoE configs: PAD
+        positions must not be dispatched (capacity pollution)."""
         y = self.attn_layer_norm(x)
         y, kv = self.attention.window_attend(y, cache, start)
         x = x + y
-        return self._ffn(x, True), kv
+        return self._ffn(x, True, mask=mask), kv
 
     def init_window_cache(self, batch_size: int):
         return self.attention.init_window_cache(batch_size)
 
-    def decode(self, x_t, cache, index):
+    def decode(self, x_t, cache, index, mask=None):
         """One-token step against this layer's KV cache (no cross-attn path
-        at decode — matches reference usage where context is None)."""
+        at decode — matches reference usage where context is None). mask
+        ([B, 1]): see window_decode — dead rows feed [PAD] every step and
+        must not consume MoE expert capacity from live rows."""
         y = self.attn_layer_norm(x_t)
         y, cache = self.attention.decode(y, cache, index)
         x = x_t + y
-        return self._ffn(x, True), cache
+        return self._ffn(x, True, mask=mask), cache
 
-    def decode_rowwise(self, x_t, cache, index):
+    def decode_rowwise(self, x_t, cache, index, mask=None):
         """One-token step at PER-ROW positions (continuous batching)."""
         y = self.attn_layer_norm(x_t)
         y, cache = self.attention.decode_rowwise(y, cache, index)
         x = x_t + y
-        return self._ffn(x, True), cache
+        return self._ffn(x, True, mask=mask), cache
 
     def init_cache(self, batch_size: int, max_length: int):
         return self.attention.init_cache(batch_size, max_length)

@@ -383,9 +383,13 @@ class TransformerLanguageModel(nn.Module):
 
     def decode_step(self, token, caches, index):
         x = self.embed(token[:, None])
+        # Finished rows feed [PAD]=0 every remaining step; exclude them
+        # from MoE dispatch so they cannot drop live rows' tokens by
+        # consuming expert capacity (the mask is free for dense FFNs).
+        mask = (token != 0)[:, None]
         new_caches = []
         for layer, cache in zip(self.decoder_layers, caches):
-            x, cache = layer.decode(x, cache, index)
+            x, cache = layer.decode(x, cache, index, mask=mask)
             new_caches.append(cache)
         return self.project(x[:, 0]), new_caches
 
@@ -393,9 +397,10 @@ class TransformerLanguageModel(nn.Module):
         """decode_step with PER-ROW positions (index: [B] int32) — the
         continuous-batching step (serving.py)."""
         x = self.embed(token[:, None])
+        mask = (token != 0)[:, None]
         new_caches = []
         for layer, cache in zip(self.decoder_layers, caches):
-            x, cache = layer.decode_rowwise(x, cache, index)
+            x, cache = layer.decode_rowwise(x, cache, index, mask=mask)
             new_caches.append(cache)
         return self.project(x[:, 0]), new_caches
 
@@ -455,9 +460,12 @@ class TransformerLanguageModel(nn.Module):
         absolute positions start.. -> ([B, W, D] hidden, per-layer window
         (k, v))."""
         x = self.embed(win_tokens)
+        # [PAD] window guesses stay out of MoE capacity; exact at the
+        # Jacobi fixed point, where every committed token is non-PAD.
+        mask = win_tokens != 0
         kvs = []
         for layer, cache in zip(self.decoder_layers, caches):
-            x, kv = layer.window_decode(x, cache, start)
+            x, kv = layer.window_decode(x, cache, start, mask=mask)
             kvs.append(kv)
         return x, tuple(kvs)
 

@@ -153,11 +153,14 @@ class TransformerVAE(TransformerLanguageModel):
         """decode_step with z replacing the [CLS] input at index 0 of every
         layer (:117-121)."""
         x = self.embed(token[:, None])
+        # Dead rows feed [PAD]=0 — keep them out of MoE expert capacity
+        # (see TransformerLanguageModel.decode_step).
+        mask = (token != 0)[:, None]
         new_caches = []
         for i, (layer, cache) in enumerate(zip(self.decoder_layers, caches)):
             x = jnp.where(index == 0,
                           self.z_projections[i](z.astype(self.dtype)), x)
-            x, cache = layer.decode(x, cache, index)
+            x, cache = layer.decode(x, cache, index, mask=mask)
             new_caches.append(cache)
         return self.project(x[:, 0]), new_caches
 
@@ -166,6 +169,9 @@ class TransformerVAE(TransformerLanguageModel):
         their z projection as the layer input (each row carries its OWN
         document's z — continuous batching refills it per document)."""
         x = self.embed(token[:, None])
+        # Rows at position 0 consume their z projection (a real input);
+        # other [PAD]-fed rows are dead and stay out of MoE capacity.
+        mask = ((token != 0) | (index == 0))[:, None]
         first = (index == 0)[:, None, None]
         new_caches = []
         for i, (layer, cache) in enumerate(zip(self.decoder_layers, caches)):
@@ -173,7 +179,7 @@ class TransformerVAE(TransformerLanguageModel):
                 self.z_projections[i](z.astype(self.dtype)),
                 (x.shape[0], 1, x.shape[-1]))
             x = jnp.where(first, zh, x)
-            x, cache = layer.decode_rowwise(x, cache, index)
+            x, cache = layer.decode_rowwise(x, cache, index, mask=mask)
             new_caches.append(cache)
         return self.project(x[:, 0]), new_caches
 
@@ -239,6 +245,9 @@ class TransformerVAE(TransformerLanguageModel):
         the window still contains absolute position 0, each layer's input at
         local position 0 is replaced by its z projection (:117-121)."""
         x = self.embed(win_tokens)
+        # [PAD] window guesses stay out of MoE capacity; exact at the
+        # Jacobi fixed point, where every committed token is non-PAD.
+        mask = win_tokens != 0
         kvs = []
         for i, (layer, cache) in enumerate(zip(self.decoder_layers, caches)):
             zh = jnp.broadcast_to(
@@ -246,7 +255,7 @@ class TransformerVAE(TransformerLanguageModel):
                 (x.shape[0], 1, x.shape[-1]))
             x = jnp.where(start == 0,
                           jnp.concatenate([zh, x[:, 1:]], axis=1), x)
-            x, kv = layer.window_decode(x, cache, start)
+            x, kv = layer.window_decode(x, cache, start, mask=mask)
             kvs.append(kv)
         return x, tuple(kvs)
 

@@ -141,35 +141,33 @@ class VAEObjective:
                     "sample (IWAE/DReG) objective has no per-dimension KL "
                     "term to clamp")
             return self._multi_sample_sums(module, params, batch, rngs)
+        # MoE decoders sow balance statistics into the "losses" collection;
+        # one apply per branch serves both configs (only the mutable kwarg
+        # and the matching unpack differ).
         moe_stats = None
         moe_on = getattr(self.hp, "num_experts", 0) > 1
+        mutable = ["losses"] if moe_on else False
+
+        def unpack(out):
+            if not moe_on:
+                return out, None
+            from .moe import collect_moe_stats
+            out, lvars = out
+            return out, collect_moe_stats(lvars.get("losses", {}))
+
         if getattr(self.hp, "loss_chunk_size", 0) and hasattr(
                 type(module), "forward_chunked_nll"):
             # Long-document path: fused projection+CE over sequence chunks,
             # full [B, L, V] logits never materialize (ops/cross_entropy.py).
-            if moe_on:
-                from .moe import collect_moe_stats
-                (nll_sum, count, raw_kl, posterior, z), lvars = module.apply(
-                    {"params": params}, batch["token_ids"], rngs=rngs,
-                    mutable=["losses"],
-                    method=type(module).forward_chunked_nll)
-                moe_stats = collect_moe_stats(lvars.get("losses", {}))
-            else:
-                nll_sum, count, raw_kl, posterior, z = module.apply(
-                    {"params": params}, batch["token_ids"], rngs=rngs,
-                    method=type(module).forward_chunked_nll)
-        elif moe_on:
-            from .moe import collect_moe_stats
-            (logits, raw_kl, posterior, z), lvars = module.apply(
+            out, moe_stats = unpack(module.apply(
                 {"params": params}, batch["token_ids"], rngs=rngs,
-                mutable=["losses"])
-            moe_stats = collect_moe_stats(lvars.get("losses", {}))
-            nll, mask = token_nll(logits[:, :-1], batch["token_ids"][:, 1:],
-                                  reduce=False)
-            nll_sum, count = jnp.sum(nll), jnp.sum(mask).astype(jnp.float32)
+                mutable=mutable, method=type(module).forward_chunked_nll))
+            nll_sum, count, raw_kl, posterior, z = out
         else:
-            logits, raw_kl, posterior, z = module.apply(
-                {"params": params}, batch["token_ids"], rngs=rngs)
+            out, moe_stats = unpack(module.apply(
+                {"params": params}, batch["token_ids"], rngs=rngs,
+                mutable=mutable))
+            logits, raw_kl, posterior, z = out
             nll, mask = token_nll(logits[:, :-1], batch["token_ids"][:, 1:],
                                   reduce=False)
             nll_sum, count = jnp.sum(nll), jnp.sum(mask).astype(jnp.float32)

@@ -305,12 +305,22 @@ def make_train_step(module, objective, optimizer,
             if n_experts > 1:
                 # Expert-sharded stacks are 'expert'-complete already (the
                 # all_to_all routed every peer's tokens through this
-                # shard's experts); psum them over 'data' only.
+                # shard's experts); psum them over 'data' only. Grouped
+                # into TWO collectives (one per reduction-axis set), not
+                # one per leaf.
                 from .ep import ep_sharded_mask
-                grads = jax.tree.map(
-                    lambda g, is_ep: jax.lax.psum(
-                        g, (DATA_AXIS,) if is_ep else red_axes),
-                    grads, ep_sharded_mask(grads))
+                leaves, treedef = jax.tree_util.tree_flatten(grads)
+                is_ep = jax.tree.leaves(ep_sharded_mask(grads))
+                ep_red = jax.lax.psum(
+                    tuple(g for g, m in zip(leaves, is_ep) if m),
+                    (DATA_AXIS,))
+                all_red = jax.lax.psum(
+                    tuple(g for g, m in zip(leaves, is_ep) if not m),
+                    red_axes)
+                it_ep, it_all = iter(ep_red), iter(all_red)
+                grads = jax.tree_util.tree_unflatten(
+                    treedef,
+                    [next(it_ep) if m else next(it_all) for m in is_ep])
             else:
                 grads = jax.lax.psum(grads, red_axes)
         grads = jax.tree.map(lambda g: g / k, grads)

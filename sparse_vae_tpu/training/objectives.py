@@ -71,21 +71,19 @@ class ARObjective:
             # folds — sample-type streams must stay replicated.
             rng = jax.random.fold_in(rng, jax.lax.axis_index("seq"))
         rngs = {"dropout": rng} if rng is not None else {}
+        # MoE layers sow their balance statistics into the "losses"
+        # collection (models/moe.py); ONE apply serves both configs — only
+        # the mutable kwarg (and the matching unpack) differs.
+        moe_on = self._moe_on(module)
+        hidden = module.apply({"params": params}, batch["token_ids"],
+                              rngs=rngs, deterministic=rng is None,
+                              mutable=["losses"] if moe_on else False,
+                              method=type(module).forward_hidden)
         moe_stats = None
-        if self._moe_on(module):
-            # MoE layers sow their balance statistics into the "losses"
-            # collection (models/moe.py); collect them alongside the hidden
-            # states. Non-MoE configs skip the mutable plumbing entirely.
+        if moe_on:
             from ..models.moe import collect_moe_stats
-            hidden, lvars = module.apply(
-                {"params": params}, batch["token_ids"], rngs=rngs,
-                deterministic=rng is None, mutable=["losses"],
-                method=type(module).forward_hidden)
+            hidden, lvars = hidden
             moe_stats = collect_moe_stats(lvars.get("losses", {}))
-        else:
-            hidden = module.apply({"params": params}, batch["token_ids"],
-                                  rngs=rngs, deterministic=rng is None,
-                                  method=type(module).forward_hidden)
         # Full-length hidden + end-padded shifted labels: avoids slicing
         # (= copying) the whole [B, L, D] tensor (see shifted_labels). Under
         # sequence parallelism labels_for shifts across shard boundaries.
@@ -106,18 +104,15 @@ class ARObjective:
         if self._chunked(module):
             nll_sum, count, moe_stats = self._chunked_stats(
                 module, params, batch, rng)
-        elif self._moe_on(module):
-            from ..models.moe import collect_moe_stats
-            logits, lvars = module.apply(
-                {"params": params}, batch["token_ids"],
-                rngs={"dropout": rng}, mutable=["losses"])
-            moe_stats = collect_moe_stats(lvars.get("losses", {}))
-            nll, mask = token_nll(logits[:, :-1], batch["token_ids"][:, 1:],
-                                  reduce=False)
-            nll_sum, count = jnp.sum(nll), jnp.sum(mask).astype(jnp.float32)
         else:
+            moe_on = self._moe_on(module)
             logits = module.apply({"params": params}, batch["token_ids"],
-                                  rngs={"dropout": rng})
+                                  rngs={"dropout": rng},
+                                  mutable=["losses"] if moe_on else False)
+            if moe_on:
+                from ..models.moe import collect_moe_stats
+                logits, lvars = logits
+                moe_stats = collect_moe_stats(lvars.get("losses", {}))
             nll, mask = token_nll(logits[:, :-1], batch["token_ids"][:, 1:],
                                   reduce=False)
             nll_sum, count = jnp.sum(nll), jnp.sum(mask).astype(jnp.float32)

@@ -159,6 +159,7 @@ def make_optimizer(
     warmup_steps: int = 0,
     tp_size: int = 1,
     tp_shard_vocab: bool = False,
+    ep_size: int = 1,
     clip: optax.GradientTransformation | None = None,
 ) -> optax.GradientTransformation:
     """Full training chain: global-norm clip -> RAdam with cosine-decayed lr.
@@ -188,15 +189,21 @@ def make_optimizer(
     else:
         schedule = lr
 
-    if tp_size > 1 and lamb:
+    if (tp_size > 1 or ep_size > 1) and lamb:
         raise NotImplementedError(
             "LAMB trust ratios are per-param norms and would be wrong on "
-            "model-sharded params; use lamb=False with tensor parallelism")
+            "model- or expert-sharded params (each shard would compute a "
+            "different ratio from its local slice); use lamb=False with "
+            "tensor/expert parallelism")
     if clip is None:
-        clip = (clip_by_tp_global_norm(grad_clip_threshold, tp_size,
-                                       shard_vocab=tp_shard_vocab)
-                if tp_size > 1 else
-                optax.clip_by_global_norm(grad_clip_threshold))
+        if tp_size > 1:
+            clip = clip_by_tp_global_norm(grad_clip_threshold, tp_size,
+                                          shard_vocab=tp_shard_vocab)
+        elif ep_size > 1:
+            from ..parallel.ep import clip_by_ep_global_norm
+            clip = clip_by_ep_global_norm(grad_clip_threshold)
+        else:
+            clip = optax.clip_by_global_norm(grad_clip_threshold)
     return optax.chain(
         clip,
         radam(schedule, weight_decay=weight_decay, lamb=lamb),

@@ -95,18 +95,15 @@ class Trainer:
             else 1
         from ..parallel.tp import shards_vocab
         self._tp_shard_vocab = shards_vocab(self.hp, self._tp_size)
-        ep_clip = None
-        if self._ep_size > 1:
-            # Expert-sharded grads need their norms psum'd over 'expert'
-            # for the global-norm clip to agree across shards.
-            from ..parallel.ep import clip_by_ep_global_norm
-            ep_clip = clip_by_ep_global_norm(self.hp.grad_clip_threshold)
+        # ep_size>1 selects the EP-aware global-norm clip (expert-sharded
+        # grads' norms psum'd over 'expert') and refuses LAMB, whose
+        # per-leaf trust ratios would diverge across expert shards.
         self.optimizer = make_optimizer(
             lr=lr, lr_decay_steps=self.hp.lr_decay_steps,
             grad_clip_threshold=self.hp.grad_clip_threshold,
             weight_decay=self.hp.weight_decay, lamb=self.hp.lamb,
             tp_size=self._tp_size, tp_shard_vocab=self._tp_shard_vocab,
-            clip=ep_clip)
+            ep_size=self._ep_size)
 
         from ..parallel.spmd import make_eval_step, make_train_step
         # On a multi-axis mesh the train/eval steps run the localized twin

@@ -279,6 +279,34 @@ class TestMoELanguageModel:
         assert tokens.shape == (2, 23)  # max_length-1 generated tokens
         assert np.asarray(tokens).max() < 64
 
+    def test_dead_rows_do_not_steal_decode_capacity(self):
+        """At decode, finished rows feed [PAD]=0 forever; they must not be
+        dispatched, or (at tight capacity) they would preempt live rows'
+        expert slots and make a row's sample depend on how many siblings
+        finished. Invariance check: a live token's logits are identical
+        whether it sits behind three dead rows or in front of them."""
+        import dataclasses
+        model, _ = _lm(2, moe_top_k=1)
+        hp = dataclasses.replace(model.hparams, moe_capacity_factor=0.25)
+        model = TransformerLanguageModel(hp)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.ones((1, 16), jnp.int32))["params"]
+
+        def step_logits(tokens):
+            caches = model.apply({"params": params}, 4, 16,
+                                 method=type(model).init_caches)
+            logits, _ = model.apply({"params": params},
+                                    jnp.asarray(tokens, jnp.int32), caches,
+                                    jnp.asarray(0),
+                                    method=type(model).decode_step)
+            return np.asarray(logits)
+
+        for t in range(3, 11):
+            behind = step_logits([0, 0, 0, t])[3]
+            front = step_logits([t, 0, 0, 0])[0]
+            np.testing.assert_allclose(behind, front, atol=1e-6,
+                                       err_msg=f"token {t}")
+
     def test_moe_under_sequence_parallel_eval_exact(self):
         """MoE + sequence parallelism: the 'seq'-sharded eval step (length
         axis sharded, MoE routing per length shard, balance sums psum'd
@@ -487,3 +515,59 @@ class TestExpertParallel:
         assert outcome.step == 3
         leaves = jax.tree_util.tree_leaves(outcome.params)
         assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+
+    def test_checkpoint_resume_on_expert_mesh(self, tmp_path,
+                                              tmp_path_factory):
+        """Orbax save/restore roundtrips EXPERT-SHARDED params: the resume
+        template comes from init_state (ep shardings), so the restored
+        expert stacks come back sharded over 'expert' and training
+        continues from the saved step."""
+        import os
+
+        from sparse_vae_tpu.data.text_data_module import (
+            TextDataModule, TextDataModuleHparams)
+        from sparse_vae_tpu.parallel.mesh import create_mesh
+        from sparse_vae_tpu.training.trainer import Trainer
+        from sparse_vae_tpu.utils.config import TrainerHparams
+
+        cwd = os.getcwd()
+        os.chdir(tmp_path_factory.mktemp("epckpt"))
+        try:
+            dm = TextDataModule(TextDataModuleHparams(
+                dataset_name="synthetic", synthetic_docs=48, vocab_size=512,
+                tokens_per_batch=1024, min_tokens_per_sample=4,
+                max_tokens_per_sample=250, pad_to_multiple_of=128,
+                test_size=8))
+            dm.prepare_data()
+        finally:
+            os.chdir(cwd)
+
+        hp = TransformerHparams(
+            d_model=32, num_heads=4, num_layers=2, vocab_size=512,
+            sparse_self_attention=False, use_pallas_kernel=False,
+            loss_chunk_size=64, num_experts=4, moe_top_k=2,
+            lr=1e-2, lr_decay_steps=10_000, base_batch_size=2048)
+        mesh = create_mesh(num_devices=8, expert_axis=2)
+
+        def make_trainer(max_steps):
+            thp = TrainerHparams(
+                accumulate_grad_batches=1, max_steps=max_steps,
+                val_check_interval=100.0, checkpoint_every_n_steps=2,
+                sample_every_n_steps=10 ** 9, expert_parallel=2)
+            return Trainer(TransformerLanguageModel(hp), hp, ARObjective(hp),
+                           dm, thp, experiment="transformer-lm",
+                           name="ep-resume", log_root=tmp_path,
+                           enable_logging=True, mesh=mesh)
+
+        t1 = make_trainer(2)
+        out1 = t1.fit(max_epochs=100)
+        t1.ckpt.close()
+        assert out1.step == 2
+
+        t2 = make_trainer(4)
+        out2 = t2.fit(max_epochs=100, resume=True)
+        t2.ckpt.close()
+        assert out2.step == 4
+        w_in = out2.params["layer_0"]["moe"]["w_in"]
+        assert w_in.sharding.spec[0] == "expert", w_in.sharding
+        assert np.isfinite(np.asarray(w_in)).all()
