@@ -16,6 +16,9 @@ test_parallel.py / test_sp.py). Three modes:
   ppermute all cross the boundary between global devices 3 and 4;
 - pp: the (1, 8) data x pipe mesh on an 8-layer transformer LM — every
   GPipe tick's stage-to-stage activation ppermute crosses it.
+- ep: the (1, 8) data x expert mesh on an 8-expert MoE transformer LM —
+  each device owns ONE expert and every MoE layer's dispatch/return
+  all_to_all crosses the process boundary.
 
 This is the only place the multi-host claim in README/PARITY §2.10 is
 actually exercised rather than asserted. The worker half lives in this same
@@ -134,7 +137,46 @@ def _pp_problem():
             dict(pipe_axis=8))
 
 
-PROBLEMS = {"dp": _dp_problem, "sp": _sp_problem, "pp": _pp_problem}
+def _ep_problem():
+    """Expert-parallel MoE transformer LM on a (data 1, expert 8) mesh:
+    8 experts, one per device; batch rows shard over the joint (data,
+    expert) axes; capacity generous so nothing drops (the one layout-
+    dependent behavior) and the step is exactly the single-process one."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from sparse_vae_tpu.models.transformer_lm import (
+        TransformerHparams, TransformerLanguageModel)
+    from sparse_vae_tpu.training.objectives import ARObjective
+    from sparse_vae_tpu.training.optimizer import make_optimizer
+
+    hp = TransformerHparams(
+        d_model=32, num_heads=2, num_layers=2, vocab_size=64,
+        sparse_self_attention=False, use_pallas_kernel=False,
+        loss_chunk_size=16, num_experts=8, moe_top_k=2,
+        moe_capacity_factor=8.0, ep_size=8)
+    model = TransformerLanguageModel(hp)  # the ep-localized twin
+    rng = jax.random.PRNGKey(3)
+    k, b, L = 2, 8, 32
+    lengths = np.array(jax.random.randint(rng, (k, b), L // 2, L))
+    tokens = np.array(jax.random.randint(rng, (k, b, L), 3, 64))
+    tokens = tokens * (np.arange(L)[None, None, :] < lengths[:, :, None])
+    batch = {"token_ids": tokens.astype(np.int32),
+             "num_tokens": lengths.astype(np.int32),
+             "num_bytes": (lengths * 4).astype(np.int32)}
+    global_model = TransformerLanguageModel(
+        dataclasses.replace(hp, ep_size=1))
+    params = _init_params(global_model, rng, batch["token_ids"][0])
+    optimizer = make_optimizer(lr=1e-2, lr_decay_steps=1000,
+                               grad_clip_threshold=5.0, ep_size=8)
+    return (model, ARObjective(hp), optimizer, params, batch, rng,
+            dict(expert_axis=8))
+
+
+PROBLEMS = {"dp": _dp_problem, "sp": _sp_problem, "pp": _pp_problem,
+            "ep": _ep_problem}
 
 
 def _pp_steps(mode, model, objective, optimizer, params, mesh):
@@ -149,6 +191,9 @@ def _pp_steps(mode, model, objective, optimizer, params, mesh):
     if mode != "pp":
         import jax
         step_fn = make_train_step(model, objective, optimizer, mesh=mesh)
+        if mode == "ep":
+            from sparse_vae_tpu.parallel.ep import ep_param_specs
+            return step_fn, params, ep_param_specs(params)
         specs = jax.tree.map(lambda _: P(), params)
         return step_fn, params, specs
     ppp = pp_split_params(params, model.hparams.num_layers)
@@ -206,9 +251,15 @@ def _worker_main(mode: str, proc_id: int, num_procs: int, port: int,
     g_batch = {name: put(v, b_specs[name]) for name, v in batch.items()}
     g_params = jax.tree.map(put, params, p_specs)
     opt_state = optimizer.init(params)
-    from sparse_vae_tpu.parallel.pp import pp_param_specs
-    o_specs = pp_param_specs(opt_state) if mode == "pp" else jax.tree.map(
-        lambda _: jax.sharding.PartitionSpec(), opt_state)
+    if mode == "pp":
+        from sparse_vae_tpu.parallel.pp import pp_param_specs
+        o_specs = pp_param_specs(opt_state)
+    elif mode == "ep":
+        from sparse_vae_tpu.parallel.ep import ep_param_specs
+        o_specs = ep_param_specs(opt_state)
+    else:
+        o_specs = jax.tree.map(
+            lambda _: jax.sharding.PartitionSpec(), opt_state)
     g_opt = jax.tree.map(put, opt_state, o_specs)
 
     p1, o1, metrics = step_fn(g_params, g_opt, g_batch,
@@ -320,6 +371,10 @@ def test_two_process_seq_parallel_step_matches_single_process():
 
 def test_two_process_pipeline_step_matches_single_process():
     _check("pp")
+
+
+def test_two_process_expert_parallel_step_matches_single_process():
+    _check("ep")
 
 
 if __name__ == "__main__":
