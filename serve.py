@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Online generation server: ``python serve.py <model> <run-name>
+[port=8600] [batch_size=64] [max_length=512] [slice_steps=64]
+[fused_select=0] [temperature=...] [top_p=...] [step=<n|best>]``.
+
+Serves a trained checkpoint behind a continuous-batching HTTP API
+(sparse_vae_tpu/server.py): requests are admitted into a persistent
+row-wise decode batch, so concurrent clients share the device at ~full
+utilization, each with its own max_tokens and (VAE) latent seed.
+
+  curl -s localhost:8600/v1/generate -d '{"max_tokens": 96, "n": 2}'
+  curl -s localhost:8600/healthz
+"""
+import sys
+
+
+def main(args):
+    from sparse_vae_tpu.cli import apply_platform_env
+    apply_platform_env()
+    experiment, name = args[1], args[2]
+    extra = dict(kv.split("=", 1) for kv in args[3:])
+    port = int(extra.get("port", 8600))
+    batch_size = int(extra.get("batch_size", 64))
+    max_length = int(extra.get("max_length", 512))
+    slice_steps = int(extra.get("slice_steps", 64))
+    fused_select = extra.get("fused_select", "0") == "1"
+
+    from sparse_vae_tpu import load_checkpoint_for_name
+    from sparse_vae_tpu.data.tokenizer import SEP_ID
+    from sparse_vae_tpu.models.generation import SamplingParams
+    from sparse_vae_tpu.server import ServeEngine, run_server
+
+    module, hparams, objective, state, meta = load_checkpoint_for_name(
+        experiment, name, step=extra.get("step"))
+
+    sampling = SamplingParams(
+        temperature=float(extra.get("temperature", 1.0)),
+        top_p=float(extra.get("top_p", 0.9)),
+        top_k=int(extra.get("top_k", 0)),
+        repetition_penalty=float(extra.get("repetition_penalty", 1.2)))
+
+    # Tokenizer for the "text" field, resolved from the run's recorded
+    # data hparams (same path sample.py uses).
+    from sparse_vae_tpu.cli import assemble_config, build_data
+    cfg = assemble_config(experiment, [])
+    cfg.data = type(cfg.data)(**meta.get("data_hparams", {}))
+    tokenizer = build_data(cfg).tokenizer
+    decode_fn = lambda ids: tokenizer.decode(ids)
+
+    engine = ServeEngine(module, state["params"], batch_size=batch_size,
+                         max_length=max_length, sampling=sampling,
+                         end_token=SEP_ID, slice_steps=slice_steps,
+                         fused_select=fused_select)
+    server = run_server(engine, port=port, decode_fn=decode_fn)
+    print(f"Serving {experiment}/{name} on :{port} "
+          f"(batch {batch_size} x {max_length}, slice {slice_steps})")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        engine.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))

@@ -11,7 +11,7 @@ the compute but write [PAD]) instead of the reference's gather-compaction
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -184,6 +184,11 @@ class RowDecodeState(NamedTuple):
     index: jax.Array    # [B] int32 — each row's next position to write
     live: jax.Array     # [B] bool — frozen rows await host harvest/refill
     rng: jax.Array
+    # Optional [B] int32 per-row position cap (serving: each request asks
+    # for its own max_tokens): a row freezes once index reaches its cap,
+    # exactly as it does at the shared buffer bound. None = buffer-bound
+    # only (the mass-sampling path).
+    row_max: Optional[jax.Array] = None
 
 
 def init_row_decode_state(batch_size: int, max_length: int, start_token: int,
@@ -239,7 +244,10 @@ def process_logits_rowwise(logits, state: RowDecodeState,
     # max_len - 1: the scalar loop (should_continue) never writes the final
     # buffer position either — keeps row-wise documents identical to it.
     live = state.live & (token != end_token) & (index < max_len - 1)
-    return RowDecodeState(tokens=tokens, index=index, live=live, rng=rng)
+    if state.row_max is not None:
+        live = live & (index < state.row_max)
+    return RowDecodeState(tokens=tokens, index=index, live=live, rng=rng,
+                          row_max=state.row_max)
 
 
 def decode_loop_rowwise(state: RowDecodeState, logits_fn, carry,

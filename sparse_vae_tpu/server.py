@@ -1,0 +1,277 @@
+"""Online generation server: continuous batching behind an HTTP API.
+
+The production-serving front-end over serving.py's row-wise decode engine
+(beyond-reference; the reference's only interactive surface is the
+vae-console REPL). One worker thread owns the device state — a persistent
+[B, max_len] RowDecodeState + KV caches — and runs bounded decode slices
+forever; HTTP handler threads only enqueue requests and wait on futures:
+
+  client ->  POST /v1/generate {"max_tokens": .., "seed": ..}   (blocks)
+  engine ->  admit queued requests into dead rows (fresh z, index 0,
+             per-row row_max = its max_tokens), run one <=slice_steps
+             device slice, harvest finished rows, resolve their futures.
+
+Admission latency is bounded by slice_steps (a new request waits at most
+one slice before decoding starts), utilization by the refill loop (a
+finished row is re-armed on the next harvest, never idling the batch until
+the slowest request ends), and per-request lengths by RowDecodeState's
+row_max — three properties lockstep batch sampling cannot give. Device
+work stays single-stream and static-shaped: the TPU never sees the queue,
+only the same compiled slice function every tick (serving._get_slice_fn).
+
+Endpoints:
+  POST /v1/generate  {"max_tokens": int=128, "seed": int?, "n": int=1}
+                     -> {"samples": [{"tokens": [...], "text": str?}, ..],
+                         "latency_ms": float}
+  GET  /healthz      -> engine statistics (also at /v1/stats)
+"""
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, List, Optional
+
+import jax
+import numpy as np
+
+from .models.generation import (RowDecodeState, SamplingParams,
+                                init_row_decode_state)
+from .serving import _get_slice_fn
+
+
+@dataclass
+class _Request:
+    max_tokens: int
+    seed: Optional[int]
+    future: Future = field(default_factory=Future)
+    submitted_at: float = field(default_factory=time.monotonic)
+
+
+class ServeEngine:
+    """Continuously-batched generation engine. submit() is thread-safe;
+    all device state lives on the single worker thread."""
+
+    def __init__(self, module, params, batch_size: int, max_length: int,
+                 sampling: SamplingParams = SamplingParams(),
+                 start_token: int = 1, end_token: int = 2,
+                 slice_steps: int = 64, fused_select: bool = False,
+                 rng_seed: int = 0):
+        self.module = module
+        self.params = params
+        self.batch_size = batch_size
+        self.max_length = max_length
+        self.start_token = start_token
+        self.is_vae = hasattr(type(module), "decode_step_z_rowwise")
+        if not self.is_vae and not hasattr(type(module),
+                                           "decode_step_rowwise"):
+            raise ValueError(
+                f"{type(module).__name__} has no row-wise decode step — "
+                "the serving engine supports the transformer families")
+        self._slice_fn = _get_slice_fn(module, self.is_vae, sampling,
+                                       end_token, slice_steps, fused_select,
+                                       interpret=False)
+        self._latent = getattr(module.hparams, "latent_depth", 0)
+        self._rng = jax.random.PRNGKey(rng_seed)
+        self._live_host = np.zeros(batch_size, bool)  # read by snapshot()
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._shutdown = threading.Event()
+        self.stats = {"served": 0, "tokens_generated": 0, "slices": 0,
+                      "started_at": time.time()}
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="serve-engine")
+        self._thread.start()
+
+    # -- client API ----------------------------------------------------------
+    def submit(self, max_tokens: int, seed: Optional[int] = None) -> Future:
+        """Enqueue one generation request; the Future resolves to the
+        np.int32 token array (start token stripped, end token kept)."""
+        if self._shutdown.is_set():
+            raise RuntimeError("engine is shut down")
+        max_tokens = max(1, min(int(max_tokens), self.max_length - 2))
+        req = _Request(max_tokens=max_tokens, seed=seed)
+        self._queue.put(req)
+        return req.future
+
+    def generate(self, max_tokens: int, seed: Optional[int] = None,
+                 timeout: Optional[float] = 600.0) -> np.ndarray:
+        return self.submit(max_tokens, seed).result(timeout)
+
+    def shutdown(self, timeout: float = 30.0):
+        self._shutdown.set()
+        self._thread.join(timeout)
+        # Unblock any requests still queued after the loop exited.
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            req.future.set_exception(RuntimeError("engine shut down"))
+
+    def snapshot(self) -> dict:
+        s = dict(self.stats)
+        s["queue_depth"] = self._queue.qsize()
+        s["live_rows"] = int(np.sum(self._live_host))
+        s["batch_size"] = self.batch_size
+        s["uptime_s"] = round(time.time() - s.pop("started_at"), 1)
+        return s
+
+    # -- worker thread ---------------------------------------------------
+    def _draw_z(self, seed: Optional[int]) -> np.ndarray:
+        if seed is None:
+            self._rng, r = jax.random.split(self._rng)
+        else:
+            r = jax.random.PRNGKey(seed)
+        return np.asarray(jax.random.normal(r, (1, max(self._latent, 1))),
+                          np.float32)
+
+    def _loop(self):
+        import jax.numpy as jnp
+
+        b, ml = self.batch_size, self.max_length
+        caches = self.module.apply({"params": self.params}, b, ml,
+                                   method=type(self.module).init_caches)
+        self._rng, d_rng = jax.random.split(self._rng)
+        state = init_row_decode_state(b, ml, self.start_token, d_rng)
+        # All rows start DEAD: nothing decodes until a request is admitted.
+        tokens_h = np.asarray(state.tokens).copy()
+        index_h = np.ones(b, np.int32)
+        self._live_host = np.zeros(b, bool)
+        row_max_h = np.full(b, ml - 1, np.int32)
+        z_h = np.zeros((b, 1, max(self._latent, 1)), np.float32)
+        assigned: List[Optional[_Request]] = [None] * b
+        dirty = True  # host mirrors differ from device state
+
+        while not self._shutdown.is_set():
+            # Admit: fill every dead row from the queue; block (briefly)
+            # when the whole batch is idle so an empty server spins cold.
+            admitted = False
+            for row in range(b):
+                if assigned[row] is not None:
+                    continue
+                try:
+                    if not self._live_host.any() and not admitted:
+                        req = self._queue.get(timeout=0.2)
+                    else:
+                        req = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                assigned[row] = req
+                tokens_h[row] = 0
+                tokens_h[row, 0] = self.start_token
+                index_h[row] = 1
+                self._live_host[row] = True
+                # index starts at 1 and counts written positions, so a cap
+                # of T generated tokens is row_max = T + 1.
+                row_max_h[row] = req.max_tokens + 1
+                if self.is_vae:
+                    z_h[row] = self._draw_z(req.seed)
+                admitted = True
+                dirty = True
+            if not self._live_host.any():
+                continue  # idle: retry the blocking get
+
+            if dirty:
+                state = RowDecodeState(
+                    tokens=jnp.asarray(tokens_h),
+                    index=jnp.asarray(index_h),
+                    live=jnp.asarray(self._live_host),
+                    rng=state.rng, row_max=jnp.asarray(row_max_h))
+                dirty = False
+            z = jnp.asarray(z_h)
+
+            state, caches = self._slice_fn(self.params, state, caches, z)
+            self.stats["slices"] += 1
+            tokens_h = np.array(state.tokens)
+            index_h = np.array(state.index)
+            self._live_host = np.array(state.live)
+
+            for row in range(b):
+                req = assigned[row]
+                if req is None or self._live_host[row]:
+                    continue
+                out = tokens_h[row, 1:index_h[row]].astype(np.int32)
+                assigned[row] = None
+                self.stats["served"] += 1
+                self.stats["tokens_generated"] += int(out.size)
+                req.future.set_result(out)
+
+        for row, req in enumerate(assigned):
+            if req is not None:
+                req.future.set_exception(RuntimeError("engine shut down"))
+
+
+# -- HTTP layer --------------------------------------------------------------
+def make_handler(engine: ServeEngine,
+                 decode_fn: Optional[Callable[[List[int]], str]] = None,
+                 request_timeout: float = 600.0):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"  # keep-alive (Content-Length is set)
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _json(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path in ("/healthz", "/v1/stats"):
+                self._json(200, {"status": "ok", **engine.snapshot()})
+            else:
+                self._json(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/v1/generate":
+                self._json(404, {"error": f"no route {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                n = max(1, min(int(req.get("n", 1)), engine.batch_size))
+                max_tokens = int(req.get("max_tokens", 128))
+                seed = req.get("seed")
+            except (ValueError, json.JSONDecodeError) as e:
+                self._json(400, {"error": str(e)})
+                return
+            t0 = time.monotonic()
+            try:
+                futures = [
+                    engine.submit(max_tokens,
+                                  None if seed is None else int(seed) + i)
+                    for i in range(n)
+                ]
+                samples = []
+                for f in futures:
+                    toks = f.result(request_timeout)
+                    sample = {"tokens": [int(t) for t in toks]}
+                    if decode_fn is not None:
+                        sample["text"] = decode_fn(
+                            [int(t) for t in toks if t != 0])
+                    samples.append(sample)
+            except Exception as e:  # noqa: BLE001 — surface to the client
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            self._json(200, {
+                "samples": samples,
+                "latency_ms": round(1e3 * (time.monotonic() - t0), 1),
+            })
+
+    return Handler
+
+
+def run_server(engine: ServeEngine, host: str = "127.0.0.1",
+               port: int = 8600, decode_fn=None,
+               request_timeout: float = 600.0) -> ThreadingHTTPServer:
+    """Start (and return) the HTTP server; call .serve_forever() to block,
+    or drive it from a thread (tests)."""
+    handler = make_handler(engine, decode_fn, request_timeout)
+    return ThreadingHTTPServer((host, port), handler)

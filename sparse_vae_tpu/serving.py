@@ -168,7 +168,8 @@ def continuous_batch_sample(module, params, rng, num_samples: int,
             live[rows] = True
             state = RowDecodeState(tokens=jnp.asarray(new_tokens),
                                    index=jnp.asarray(index),
-                                   live=jnp.asarray(live), rng=state.rng)
+                                   live=jnp.asarray(live), rng=state.rng,
+                                   row_max=state.row_max)
             if is_vae:
                 z = jnp.asarray(z_host)
 
