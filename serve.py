@@ -9,6 +9,7 @@ row-wise decode batch, so concurrent clients share the device at ~full
 utilization, each with its own max_tokens and (VAE) latent seed.
 
   curl -s localhost:8600/v1/generate -d '{"max_tokens": 96, "n": 2}'
+  curl -s localhost:8600/v1/generate -d '{"prompt": "The", "max_tokens": 64}'
   curl -s localhost:8600/healthz
 """
 import sys
@@ -47,11 +48,22 @@ def main(args):
     tokenizer = build_data(cfg).tokenizer
     decode_fn = lambda ids: tokenizer.decode(ids)
 
+    def encode_fn(text):
+        # The Roberta post-processor wraps text as [CLS] .. [SEP]; the
+        # engine already writes its own start token and the prompt must
+        # not end the row, so strip both specials here.
+        from sparse_vae_tpu.data.tokenizer import CLS_ID, SEP_ID
+        ids = [t for t in tokenizer.encode(text).ids if t != CLS_ID]
+        while ids and ids[-1] == SEP_ID:
+            ids.pop()
+        return ids
+
     engine = ServeEngine(module, state["params"], batch_size=batch_size,
                          max_length=max_length, sampling=sampling,
                          end_token=SEP_ID, slice_steps=slice_steps,
                          fused_select=fused_select)
-    server = run_server(engine, port=port, decode_fn=decode_fn)
+    server = run_server(engine, port=port, decode_fn=decode_fn,
+                        encode_fn=encode_fn)
     print(f"Serving {experiment}/{name} on :{port} "
           f"(batch {batch_size} x {max_length}, slice {slice_steps})")
     try:

@@ -189,6 +189,12 @@ class RowDecodeState(NamedTuple):
     # exactly as it does at the shared buffer bound. None = buffer-bound
     # only (the mass-sampling path).
     row_max: Optional[jax.Array] = None
+    # Optional [B] int32 per-row prompt length (in index space: positions
+    # < prompt_len are FORCED from the pre-written token buffer instead of
+    # sampled — serving-side prefill/teacher-forcing). The model still runs
+    # on every forced token, building the KV cache exactly as if the token
+    # had been sampled; its logits are simply discarded. None = no prompts.
+    prompt_len: Optional[jax.Array] = None
 
 
 def init_row_decode_state(batch_size: int, max_length: int, start_token: int,
@@ -239,15 +245,27 @@ def process_logits_rowwise(logits, state: RowDecodeState,
 
     b = state.tokens.shape[0]
     max_len = state.tokens.shape[-1]
+    if state.prompt_len is not None:
+        # Prefill: while a row's write position is inside its prompt, the
+        # token comes from the pre-written buffer, not the sampler — and a
+        # forced token never ends the row (prompts may contain [SEP]).
+        forced = state.live & (state.index < state.prompt_len)
+        buf = jnp.take_along_axis(state.tokens, state.index[:, None],
+                                  axis=1)[:, 0]
+        token = jnp.where(forced, buf, token)
     tokens = state.tokens.at[jnp.arange(b), state.index].set(token)
     index = state.index + state.live.astype(jnp.int32)
     # max_len - 1: the scalar loop (should_continue) never writes the final
     # buffer position either — keeps row-wise documents identical to it.
-    live = state.live & (token != end_token) & (index < max_len - 1)
+    ended = token == end_token
+    if state.prompt_len is not None:
+        ended = ended & ~forced
+    live = state.live & ~ended & (index < max_len - 1)
     if state.row_max is not None:
         live = live & (index < state.row_max)
     return RowDecodeState(tokens=tokens, index=index, live=live, rng=rng,
-                          row_max=state.row_max)
+                          row_max=state.row_max,
+                          prompt_len=state.prompt_len)
 
 
 def decode_loop_rowwise(state: RowDecodeState, logits_fn, carry,

@@ -19,8 +19,15 @@ row_max — three properties lockstep batch sampling cannot give. Device
 work stays single-stream and static-shaped: the TPU never sees the queue,
 only the same compiled slice function every tick (serving._get_slice_fn).
 
+Requests may carry a prompt ("prompt_tokens" ids, or "prompt" text when a
+tokenizer is wired): the prompt is PREFILLED through the same decode path —
+each forced token runs the model (building the KV cache exactly as if it
+had been sampled) while the sampler's output is discarded (RowDecodeState
+.prompt_len) — then sampling continues for max_tokens NEW tokens.
+
 Endpoints:
-  POST /v1/generate  {"max_tokens": int=128, "seed": int?, "n": int=1}
+  POST /v1/generate  {"max_tokens": int=128, "seed": int?, "n": int=1,
+                      "prompt_tokens": [int]? | "prompt": str?}
                      -> {"samples": [{"tokens": [...], "text": str?}, ..],
                          "latency_ms": float}
   GET  /healthz      -> engine statistics (also at /v1/stats)
@@ -48,6 +55,7 @@ from .serving import _get_slice_fn
 class _Request:
     max_tokens: int
     seed: Optional[int]
+    prompt_tokens: Optional[List[int]] = None
     future: Future = field(default_factory=Future)
     submitted_at: float = field(default_factory=time.monotonic)
 
@@ -87,19 +95,31 @@ class ServeEngine:
         self._thread.start()
 
     # -- client API ----------------------------------------------------------
-    def submit(self, max_tokens: int, seed: Optional[int] = None) -> Future:
+    def submit(self, max_tokens: int, seed: Optional[int] = None,
+               prompt_tokens: Optional[List[int]] = None) -> Future:
         """Enqueue one generation request; the Future resolves to the
-        np.int32 token array (start token stripped, end token kept)."""
+        np.int32 token array (start token stripped, prompt INCLUDED, end
+        token kept). prompt_tokens are prefilled through the decode path
+        (teacher-forced, KV cache built token by token) before sampling
+        continues; max_tokens counts NEW tokens after the prompt."""
         if self._shutdown.is_set():
             raise RuntimeError("engine is shut down")
-        max_tokens = max(1, min(int(max_tokens), self.max_length - 2))
-        req = _Request(max_tokens=max_tokens, seed=seed)
+        p = len(prompt_tokens or ())
+        if p > self.max_length - 3:
+            raise ValueError(
+                f"prompt of {p} tokens exceeds the batch buffer "
+                f"(max_length={self.max_length})")
+        max_tokens = max(1, min(int(max_tokens),
+                                self.max_length - 2 - p))
+        req = _Request(max_tokens=max_tokens, seed=seed,
+                       prompt_tokens=list(prompt_tokens or ()))
         self._queue.put(req)
         return req.future
 
     def generate(self, max_tokens: int, seed: Optional[int] = None,
+                 prompt_tokens: Optional[List[int]] = None,
                  timeout: Optional[float] = 600.0) -> np.ndarray:
-        return self.submit(max_tokens, seed).result(timeout)
+        return self.submit(max_tokens, seed, prompt_tokens).result(timeout)
 
     def shutdown(self, timeout: float = 30.0):
         self._shutdown.set()
@@ -142,6 +162,7 @@ class ServeEngine:
         index_h = np.ones(b, np.int32)
         self._live_host = np.zeros(b, bool)
         row_max_h = np.full(b, ml - 1, np.int32)
+        prompt_len_h = np.zeros(b, np.int32)
         z_h = np.zeros((b, 1, max(self._latent, 1)), np.float32)
         assigned: List[Optional[_Request]] = [None] * b
         dirty = True  # host mirrors differ from device state
@@ -163,11 +184,16 @@ class ServeEngine:
                 assigned[row] = req
                 tokens_h[row] = 0
                 tokens_h[row, 0] = self.start_token
+                p = len(req.prompt_tokens)
+                if p:
+                    tokens_h[row, 1:1 + p] = req.prompt_tokens
                 index_h[row] = 1
                 self._live_host[row] = True
+                prompt_len_h[row] = 1 + p
                 # index starts at 1 and counts written positions, so a cap
-                # of T generated tokens is row_max = T + 1.
-                row_max_h[row] = req.max_tokens + 1
+                # of T generated tokens after a p-token prompt is
+                # row_max = p + T + 1.
+                row_max_h[row] = p + req.max_tokens + 1
                 if self.is_vae:
                     z_h[row] = self._draw_z(req.seed)
                 admitted = True
@@ -180,7 +206,8 @@ class ServeEngine:
                     tokens=jnp.asarray(tokens_h),
                     index=jnp.asarray(index_h),
                     live=jnp.asarray(self._live_host),
-                    rng=state.rng, row_max=jnp.asarray(row_max_h))
+                    rng=state.rng, row_max=jnp.asarray(row_max_h),
+                    prompt_len=jnp.asarray(prompt_len_h))
                 dirty = False
             z = jnp.asarray(z_h)
 
@@ -208,7 +235,8 @@ class ServeEngine:
 # -- HTTP layer --------------------------------------------------------------
 def make_handler(engine: ServeEngine,
                  decode_fn: Optional[Callable[[List[int]], str]] = None,
-                 request_timeout: float = 600.0):
+                 request_timeout: float = 600.0,
+                 encode_fn: Optional[Callable[[str], List[int]]] = None):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"  # keep-alive (Content-Length is set)
 
@@ -239,14 +267,24 @@ def make_handler(engine: ServeEngine,
                 n = max(1, min(int(req.get("n", 1)), engine.batch_size))
                 max_tokens = int(req.get("max_tokens", 128))
                 seed = req.get("seed")
-            except (ValueError, json.JSONDecodeError) as e:
+                prompt_tokens = req.get("prompt_tokens")
+                if prompt_tokens is not None:
+                    prompt_tokens = [int(t) for t in prompt_tokens]
+                elif req.get("prompt"):
+                    if encode_fn is None:
+                        raise ValueError(
+                            "text prompts need a tokenizer (encode_fn); "
+                            "pass prompt_tokens instead")
+                    prompt_tokens = list(encode_fn(str(req["prompt"])))
+            except (ValueError, TypeError, json.JSONDecodeError) as e:
                 self._json(400, {"error": str(e)})
                 return
             t0 = time.monotonic()
             try:
                 futures = [
                     engine.submit(max_tokens,
-                                  None if seed is None else int(seed) + i)
+                                  None if seed is None else int(seed) + i,
+                                  prompt_tokens)
                     for i in range(n)
                 ]
                 samples = []
@@ -270,8 +308,9 @@ def make_handler(engine: ServeEngine,
 
 def run_server(engine: ServeEngine, host: str = "127.0.0.1",
                port: int = 8600, decode_fn=None,
-               request_timeout: float = 600.0) -> ThreadingHTTPServer:
+               request_timeout: float = 600.0,
+               encode_fn=None) -> ThreadingHTTPServer:
     """Start (and return) the HTTP server; call .serve_forever() to block,
     or drive it from a thread (tests)."""
-    handler = make_handler(engine, decode_fn, request_timeout)
+    handler = make_handler(engine, decode_fn, request_timeout, encode_fn)
     return ThreadingHTTPServer((host, port), handler)

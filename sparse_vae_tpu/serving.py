@@ -169,7 +169,8 @@ def continuous_batch_sample(module, params, rng, num_samples: int,
             state = RowDecodeState(tokens=jnp.asarray(new_tokens),
                                    index=jnp.asarray(index),
                                    live=jnp.asarray(live), rng=state.rng,
-                                   row_max=state.row_max)
+                                   row_max=state.row_max,
+                                   prompt_len=state.prompt_len)
             if is_vae:
                 z = jnp.asarray(z_host)
 

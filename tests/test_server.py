@@ -89,6 +89,45 @@ class TestServeEngine:
         finally:
             engine.shutdown()
 
+    def test_prefill_continues_the_scalar_trajectory(self):
+        """Greedy + a prompt equal to the scalar sample's own prefix must
+        reproduce the scalar sample EXACTLY: teacher-forcing the true
+        prefix builds the identical KV cache, so the continuation is the
+        same trajectory."""
+        model, params = _vae()
+        engine = ServeEngine(model, params, batch_size=2, max_length=40,
+                             sampling=GREEDY, slice_steps=8)
+        try:
+            for seed in (21, 22):
+                ref = _scalar_reference(model, params, seed, 40)
+                k = min(6, len(ref) - 2)
+                got = engine.generate(max_tokens=38,
+                                      seed=seed,
+                                      prompt_tokens=[int(t)
+                                                     for t in ref[:k]],
+                                      timeout=300)
+                n = min(len(got), len(ref))
+                np.testing.assert_array_equal(got[:n], ref[:n],
+                                              err_msg=str(seed))
+        finally:
+            engine.shutdown()
+
+    def test_prompt_containing_end_token_survives(self):
+        """A [SEP] inside the prompt must not end the row — only a SAMPLED
+        end token finishes a request."""
+        model, params = _vae()
+        engine = ServeEngine(model, params, batch_size=2, max_length=48,
+                             sampling=GREEDY, slice_steps=8,
+                             end_token=-1)
+        try:
+            prompt = [5, 2, 7, 2, 9]  # SEP_ID = 2 twice, mid-prompt
+            got = engine.generate(max_tokens=10, prompt_tokens=prompt,
+                                  seed=1, timeout=300)
+            np.testing.assert_array_equal(got[:5], prompt)
+            assert len(got) == len(prompt) + 10
+        finally:
+            engine.shutdown()
+
     def test_http_round_trip(self):
         model, params = _vae()
         engine = ServeEngine(model, params, batch_size=2, max_length=32,
@@ -115,6 +154,15 @@ class TestServeEngine:
             assert resp.status == 200
             stats = json.loads(resp.read())
             assert stats["status"] == "ok" and stats["served"] >= 2
+
+            conn.request("POST", "/v1/generate",
+                         json.dumps({"max_tokens": 6,
+                                     "prompt_tokens": [3, 4, 5]}))
+            resp = conn.getresponse()
+            assert resp.status == 200, resp.read()
+            sample = json.loads(resp.read())["samples"][0]
+            assert sample["tokens"][:3] == [3, 4, 5]
+            assert len(sample["tokens"]) <= 9
 
             conn.request("POST", "/v1/generate", "not json")
             assert conn.getresponse().status in (400, 500)
