@@ -60,7 +60,11 @@ def main(args):
 
     module, hparams, objective, state, meta = load_checkpoint_for_name(
         experiment, name, step=extra.get("step"))
-    params = state["params"]
+    from sparse_vae_tpu import cast_float_params
+    # params_dtype=bf16: serving-weight cast A/B — decode is weight-
+    # bandwidth-bound, so bf16-stored weights should approach 2x.
+    params_dtype = extra.get("params_dtype", "fp32")
+    params = cast_float_params(state["params"], params_dtype)
     is_vae = experiment.endswith("vae")
 
     z = None

@@ -43,7 +43,10 @@ def main(args):
 
     module, hparams, objective, state, meta = load_checkpoint_for_name(
         experiment, name, step=extra.get("step"))
-    params = state["params"]
+    from sparse_vae_tpu import cast_float_params
+    # params_dtype=bf16: serving-weight cast (halves decode HBM traffic).
+    params = cast_float_params(state["params"],
+                               extra.get("params_dtype", "fp32"))
     end = -1 if ignore_end else SEP_ID
 
     if continuous:

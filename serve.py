@@ -26,13 +26,17 @@ def main(args):
     slice_steps = int(extra.get("slice_steps", 64))
     fused_select = extra.get("fused_select", "0") == "1"
 
-    from sparse_vae_tpu import load_checkpoint_for_name
+    from sparse_vae_tpu import cast_float_params, load_checkpoint_for_name
     from sparse_vae_tpu.data.tokenizer import SEP_ID
     from sparse_vae_tpu.models.generation import SamplingParams
     from sparse_vae_tpu.server import ServeEngine, run_server
 
     module, hparams, objective, state, meta = load_checkpoint_for_name(
         experiment, name, step=extra.get("step"))
+    # params_dtype=bf16: serving-weight cast — halves the per-step HBM
+    # weight read that bounds single-stream decode throughput.
+    state["params"] = cast_float_params(state["params"],
+                                        extra.get("params_dtype", "fp32"))
 
     sampling = SamplingParams(
         temperature=float(extra.get("temperature", 1.0)),

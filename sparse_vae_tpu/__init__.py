@@ -32,6 +32,29 @@ from .training.optimizer import make_optimizer, radam
 from .training.trainer import Trainer
 from .utils.config import TrainerHparams, merge_into_dataclass, parse_dotlist
 
+def cast_float_params(params, dtype: str = "fp32"):
+    """Serving-time weight cast: 'bf16' halves every float param leaf —
+    and therefore the per-decode-step HBM weight traffic, the bound on
+    single-stream decode throughput. The models cast weights to their
+    compute dtype at use anyway, so bf16-stored weights compose with any
+    `precision` (fp32 compute reads bf16 weights and upcasts in the fused
+    matmul). 'fp32'/'' returns the tree unchanged. Training must keep
+    fp32 master weights; this is for inference surfaces only."""
+    if dtype in (None, "", "fp32", "float32"):
+        return params
+    if dtype not in ("bf16", "bfloat16"):
+        raise ValueError(f"params_dtype must be fp32 or bf16, got {dtype!r}")
+    import jax
+    import jax.numpy as jnp
+
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(jnp.bfloat16)
+        return x
+
+    return jax.tree.map(cast, params)
+
+
 MODEL_REGISTRY = {
     "lstm-lm": (LSTMLanguageModel, LSTMLanguageModelHparams, ARObjective),
     "lstm-vae": (LSTMVAE, LSTMVAEHparams, VAEObjective),

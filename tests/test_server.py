@@ -128,6 +128,28 @@ class TestServeEngine:
         finally:
             engine.shutdown()
 
+    def test_bf16_cast_params_serve(self):
+        """Serving-weight cast (params_dtype=bf16): float leaves halve,
+        int leaves untouched, and the engine generates valid tokens from
+        the cast tree."""
+        from sparse_vae_tpu import cast_float_params
+        model, params = _vae()
+        p16 = cast_float_params(params, "bf16")
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p16)):
+            if jnp.issubdtype(a.dtype, jnp.floating):
+                assert b.dtype == jnp.bfloat16
+            else:
+                assert b.dtype == a.dtype
+        assert cast_float_params(params, "fp32") is params
+        engine = ServeEngine(model, p16, batch_size=2, max_length=32,
+                             sampling=GREEDY, slice_steps=8)
+        try:
+            got = engine.generate(max_tokens=12, seed=3, timeout=300)
+            assert 1 <= len(got) <= 12
+            assert np.asarray(got).min() >= 0
+        finally:
+            engine.shutdown()
+
     def test_http_round_trip(self):
         model, params = _vae()
         engine = ServeEngine(model, params, batch_size=2, max_length=32,
