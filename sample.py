@@ -75,10 +75,8 @@ def main(args):
     print("Saving to disk...")
     # Decode to text like the reference (sample.py:19-22); the tokenizer is
     # resolved from the run's recorded data hparams.
-    from sparse_vae_tpu.cli import assemble_config, build_data
-    cfg = assemble_config(experiment, [])
-    cfg.data = type(cfg.data)(**meta.get("data_hparams", {}))
-    tokenizer = build_data(cfg).tokenizer
+    from sparse_vae_tpu.cli import tokenizer_for_run
+    tokenizer = tokenizer_for_run(experiment, meta)
     texts = tokenizer.decode_batch(
         [[int(t) for t in o if t != 0] for o in outputs])
 

@@ -44,12 +44,10 @@ def main(args):
         top_k=int(extra.get("top_k", 0)),
         repetition_penalty=float(extra.get("repetition_penalty", 1.2)))
 
-    # Tokenizer for the "text" field, resolved from the run's recorded
-    # data hparams (same path sample.py uses).
-    from sparse_vae_tpu.cli import assemble_config, build_data
-    cfg = assemble_config(experiment, [])
-    cfg.data = type(cfg.data)(**meta.get("data_hparams", {}))
-    tokenizer = build_data(cfg).tokenizer
+    # Tokenizer for the "text" field / "prompt" encoding, resolved from
+    # the run's recorded data hparams (same path sample.py uses).
+    from sparse_vae_tpu.cli import tokenizer_for_run
+    tokenizer = tokenizer_for_run(experiment, meta)
     decode_fn = lambda ids: tokenizer.decode(ids)
 
     def encode_fn(text):

@@ -81,6 +81,15 @@ def build_data(cfg: CLIConfig) -> TextDataModule:
     return dm
 
 
+def tokenizer_for_run(experiment: str, meta: dict):
+    """The tokenizer a trained run used, resolved from the run's recorded
+    data hparams (checkpoint meta.json) — shared by the inference scripts
+    (sample.py, serve.py) so the recipe cannot drift between them."""
+    cfg = assemble_config(experiment, [])
+    cfg.data = type(cfg.data)(**meta.get("data_hparams", {}))
+    return build_data(cfg).tokenizer
+
+
 def make_sample_fns(experiment: str, objective, max_len: int = 512):
     """(sample_fn, reconstruct_fn) for the Trainer's sampling callback.
 

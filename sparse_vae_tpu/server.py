@@ -48,7 +48,7 @@ import numpy as np
 
 from .models.generation import (RowDecodeState, SamplingParams,
                                 init_row_decode_state)
-from .serving import _get_slice_fn
+from .serving import _get_slice_fn, rowwise_family
 
 
 @dataclass
@@ -74,22 +74,20 @@ class ServeEngine:
         self.batch_size = batch_size
         self.max_length = max_length
         self.start_token = start_token
-        self.is_vae = hasattr(type(module), "decode_step_z_rowwise")
-        if not self.is_vae and not hasattr(type(module),
-                                           "decode_step_rowwise"):
-            raise ValueError(
-                f"{type(module).__name__} has no row-wise decode step — "
-                "the serving engine supports the transformer families")
+        self.is_vae = rowwise_family(module)
         self._slice_fn = _get_slice_fn(module, self.is_vae, sampling,
                                        end_token, slice_steps, fused_select,
                                        interpret=False)
         self._latent = getattr(module.hparams, "latent_depth", 0)
         self._rng = jax.random.PRNGKey(rng_seed)
         self._live_host = np.zeros(batch_size, bool)  # read by snapshot()
+        self._assigned: List[Optional[_Request]] = [None] * batch_size
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._shutdown = threading.Event()
+        self._fatal: Optional[BaseException] = None
+        self._lock = threading.Lock()  # orders submit() vs shutdown/fail
         self.stats = {"served": 0, "tokens_generated": 0, "slices": 0,
-                      "started_at": time.time()}
+                      "request_seconds": 0.0, "started_at": time.time()}
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="serve-engine")
         self._thread.start()
@@ -102,8 +100,6 @@ class ServeEngine:
         token kept). prompt_tokens are prefilled through the decode path
         (teacher-forced, KV cache built token by token) before sampling
         continues; max_tokens counts NEW tokens after the prompt."""
-        if self._shutdown.is_set():
-            raise RuntimeError("engine is shut down")
         p = len(prompt_tokens or ())
         if p > self.max_length - 3:
             raise ValueError(
@@ -113,7 +109,16 @@ class ServeEngine:
                                 self.max_length - 2 - p))
         req = _Request(max_tokens=max_tokens, seed=seed,
                        prompt_tokens=list(prompt_tokens or ()))
-        self._queue.put(req)
+        # The lock orders this put against shutdown()/worker failure: once
+        # either has started failing pending requests (under the same
+        # lock), no new request can slip into the drained queue unresolved.
+        with self._lock:
+            if self._fatal is not None:
+                raise RuntimeError(
+                    f"engine failed: {self._fatal!r}") from self._fatal
+            if self._shutdown.is_set():
+                raise RuntimeError("engine is shut down")
+            self._queue.put(req)
         return req.future
 
     def generate(self, max_tokens: int, seed: Optional[int] = None,
@@ -124,20 +129,35 @@ class ServeEngine:
     def shutdown(self, timeout: float = 30.0):
         self._shutdown.set()
         self._thread.join(timeout)
-        # Unblock any requests still queued after the loop exited.
-        while True:
-            try:
-                req = self._queue.get_nowait()
-            except queue.Empty:
-                break
-            req.future.set_exception(RuntimeError("engine shut down"))
+        self._fail_pending(RuntimeError("engine shut down"))
+
+    def _fail_pending(self, exc: BaseException):
+        """Resolve every in-flight and queued future exceptionally (under
+        the submit lock, so nothing new slips into the drained queue)."""
+        with self._lock:
+            for row, req in enumerate(self._assigned):
+                if req is not None:
+                    self._assigned[row] = None
+                    if not req.future.done():
+                        req.future.set_exception(exc)
+            while True:
+                try:
+                    req = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if not req.future.done():
+                    req.future.set_exception(exc)
 
     def snapshot(self) -> dict:
         s = dict(self.stats)
+        served = max(s["served"], 1)
+        s["avg_request_s"] = round(s.pop("request_seconds") / served, 3)
         s["queue_depth"] = self._queue.qsize()
         s["live_rows"] = int(np.sum(self._live_host))
         s["batch_size"] = self.batch_size
         s["uptime_s"] = round(time.time() - s.pop("started_at"), 1)
+        if self._fatal is not None:
+            s["fatal"] = repr(self._fatal)
         return s
 
     # -- worker thread ---------------------------------------------------
@@ -150,6 +170,17 @@ class ServeEngine:
                           np.float32)
 
     def _loop(self):
+        try:
+            self._run()
+        except BaseException as e:  # noqa: BLE001 — a dead worker must not
+            # leave clients hanging: record the failure (submit() and
+            # /healthz surface it) and resolve every pending future.
+            self._fatal = e
+            self._fail_pending(RuntimeError(f"engine failed: {e!r}"))
+        else:
+            self._fail_pending(RuntimeError("engine shut down"))
+
+    def _run(self):
         import jax.numpy as jnp
 
         b, ml = self.batch_size, self.max_length
@@ -164,7 +195,8 @@ class ServeEngine:
         row_max_h = np.full(b, ml - 1, np.int32)
         prompt_len_h = np.zeros(b, np.int32)
         z_h = np.zeros((b, 1, max(self._latent, 1)), np.float32)
-        assigned: List[Optional[_Request]] = [None] * b
+        z = jnp.asarray(z_h)
+        assigned = self._assigned
         dirty = True  # host mirrors differ from device state
 
         while not self._shutdown.is_set():
@@ -208,8 +240,8 @@ class ServeEngine:
                     live=jnp.asarray(self._live_host),
                     rng=state.rng, row_max=jnp.asarray(row_max_h),
                     prompt_len=jnp.asarray(prompt_len_h))
+                z = jnp.asarray(z_h)  # z only changes on admission
                 dirty = False
-            z = jnp.asarray(z_h)
 
             state, caches = self._slice_fn(self.params, state, caches, z)
             self.stats["slices"] += 1
@@ -225,11 +257,10 @@ class ServeEngine:
                 assigned[row] = None
                 self.stats["served"] += 1
                 self.stats["tokens_generated"] += int(out.size)
-                req.future.set_result(out)
-
-        for row, req in enumerate(assigned):
-            if req is not None:
-                req.future.set_exception(RuntimeError("engine shut down"))
+                self.stats["request_seconds"] += (time.monotonic()
+                                                  - req.submitted_at)
+                if not req.future.done():  # raced by a failing shutdown
+                    req.future.set_result(out)
 
 
 # -- HTTP layer --------------------------------------------------------------
@@ -253,20 +284,31 @@ def make_handler(engine: ServeEngine,
 
         def do_GET(self):
             if self.path in ("/healthz", "/v1/stats"):
-                self._json(200, {"status": "ok", **engine.snapshot()})
+                snap = engine.snapshot()
+                if "fatal" in snap:
+                    self._json(503, {"status": "error", **snap})
+                else:
+                    self._json(200, {"status": "ok", **snap})
             else:
                 self._json(404, {"error": f"no route {self.path}"})
 
         def do_POST(self):
+            # Consume the body FIRST, on every path: under HTTP/1.1
+            # keep-alive an unread body would be parsed as the next
+            # request line, desyncing the connection.
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length) if length else b"{}"
             if self.path != "/v1/generate":
                 self._json(404, {"error": f"no route {self.path}"})
                 return
             try:
-                length = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(length) or b"{}")
+                req = json.loads(body or b"{}")
+                if not isinstance(req, dict):
+                    raise ValueError("body must be a JSON object")
                 n = max(1, min(int(req.get("n", 1)), engine.batch_size))
                 max_tokens = int(req.get("max_tokens", 128))
                 seed = req.get("seed")
+                seed = None if seed is None else int(seed)
                 prompt_tokens = req.get("prompt_tokens")
                 if prompt_tokens is not None:
                     prompt_tokens = [int(t) for t in prompt_tokens]
@@ -276,7 +318,8 @@ def make_handler(engine: ServeEngine,
                             "text prompts need a tokenizer (encode_fn); "
                             "pass prompt_tokens instead")
                     prompt_tokens = list(encode_fn(str(req["prompt"])))
-            except (ValueError, TypeError, json.JSONDecodeError) as e:
+            except (ValueError, TypeError, AttributeError,
+                    json.JSONDecodeError) as e:
                 self._json(400, {"error": str(e)})
                 return
             t0 = time.monotonic()

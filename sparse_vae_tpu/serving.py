@@ -38,6 +38,18 @@ from .models.generation import (RowDecodeState, SamplingParams,
 _SLICE_CACHE: dict = {}
 
 
+def rowwise_family(module) -> bool:
+    """Whether `module` supports per-row decode (continuous batching /
+    the serving engine). Returns is_vae; raises for the LSTM families."""
+    is_vae = hasattr(type(module), "decode_step_z_rowwise")
+    if not is_vae and not hasattr(type(module), "decode_step_rowwise"):
+        raise ValueError(
+            f"{type(module).__name__} has no row-wise decode step — "
+            "continuous batching supports the transformer families; LSTM "
+            "models use the lockstep sample loop")
+    return is_vae
+
+
 def _get_slice_fn(module, is_vae: bool, sampling: SamplingParams,
                   end_token: int, slice_steps: int, fused_select: bool,
                   interpret: bool):
@@ -91,12 +103,7 @@ def continuous_batch_sample(module, params, rng, num_samples: int,
     has no z at all). Returns a list of np.int32 token arrays (start token
     stripped; the end token kept when emitted), in document order.
     """
-    is_vae = hasattr(type(module), "decode_step_z_rowwise")
-    if not is_vae and not hasattr(type(module), "decode_step_rowwise"):
-        raise ValueError(
-            f"{type(module).__name__} has no row-wise decode step — "
-            "continuous batching supports the transformer families; LSTM "
-            "models use the lockstep sample loop")
+    is_vae = rowwise_family(module)
     latent = getattr(module.hparams, "latent_depth", 0)
     rng, z_rng, d_rng = jax.random.split(rng, 3)
 

@@ -128,6 +128,61 @@ class TestServeEngine:
         finally:
             engine.shutdown()
 
+    def test_worker_failure_fails_futures_and_healthz(self):
+        """A dying worker must not leave clients hanging: every pending
+        future resolves exceptionally, submit() refuses new work, and the
+        snapshot carries the fatal error."""
+        model, params = _vae()
+        engine = ServeEngine(model, params, batch_size=2, max_length=32,
+                             sampling=GREEDY, slice_steps=8)
+
+        def boom(*a, **k):
+            raise RuntimeError("injected device failure")
+
+        engine._slice_fn = boom
+        fut = engine.submit(max_tokens=8, seed=1)
+        with np.testing.assert_raises(RuntimeError):
+            fut.result(60)
+        engine._thread.join(30)
+        assert "fatal" in engine.snapshot()
+        with np.testing.assert_raises(RuntimeError):
+            engine.submit(max_tokens=8)
+
+    def test_unknown_route_does_not_desync_keepalive(self):
+        """A POST to an unknown path must drain its body, or HTTP/1.1
+        keep-alive parses the leftover bytes as the next request line."""
+        model, params = _vae()
+        engine = ServeEngine(model, params, batch_size=2, max_length=32,
+                             sampling=GREEDY, slice_steps=8)
+        server = run_server(engine, port=0)
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", port,
+                                              timeout=300)
+            def roundtrip(path, body):
+                conn.request("POST", path, body)
+                resp = conn.getresponse()
+                return resp.status, resp.read()  # read: frees keep-alive
+
+            status, _ = roundtrip("/v2/generate",
+                                  json.dumps({"max_tokens": 12}))
+            assert status == 404
+            # Same connection must still serve a real request.
+            status, body = roundtrip("/v1/generate",
+                                     json.dumps({"max_tokens": 4}))
+            assert status == 200, body
+            assert json.loads(body)["samples"]
+            # Wrong-shape but valid JSON -> 400, not a dropped socket.
+            assert roundtrip("/v1/generate", json.dumps([1, 2]))[0] == 400
+            assert roundtrip("/v1/generate",
+                             json.dumps({"seed": "abc"}))[0] == 400
+            conn.close()
+        finally:
+            server.shutdown()
+            engine.shutdown()
+
     def test_bf16_cast_params_serve(self):
         """Serving-weight cast (params_dtype=bf16): float leaves halve,
         int leaves untouched, and the engine generates valid tokens from
