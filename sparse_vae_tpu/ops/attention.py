@@ -336,6 +336,13 @@ class Attention(nn.Module):
             x_q = x_kv if same else replicate_gradient(x_q, self.tp_axis)
         q, k, v = self._project(x_q, x_kv)
         q, k, v = (split_heads(t, self.local_heads) for t in (q, k, v))
+        # Bulk-prefill seed (server.py): the head-major rotary K/V are
+        # exactly what the decode caches store per position — sown only
+        # when a "cache_seed" collection is mutable (a no-op otherwise),
+        # so one teacher-forced forward can fill a row's cache in place of
+        # prompt-length sequential decode steps (fill_cache_row below).
+        self.sow("cache_seed", "k", k)
+        self.sow("cache_seed", "v", v)
         # Remat save points (transformer_lm.py policies 'dots_attn' /
         # 'dots_attn_qkv'): the head-major operands and the kernel output
         # sit behind custom-call layout pins, so recomputing them in the
@@ -679,3 +686,45 @@ class Attention(nn.Module):
         out = dense_attention(q, cache["k"], cache["v"],
                               valid[None, None, None, :])
         return self._finalize(out), cache
+
+
+def fill_cache_row(cache: dict, row, k, v, length) -> dict:
+    """Write ONE row of a decode cache from full-prefix K/V in one shot —
+    the bulk-prefill primitive (server.py): equals `length` sequential
+    decode writes of positions 0..length-1 (tested).
+
+    cache: a batched init_cache dict (ring or dense layout); row: int32
+    row index; k, v: [H, Lp, Dh] head-major rotary K/V of the prefix (the
+    "cache_seed" sown by Attention.__call__), Lp >= length; length: int32
+    count of REAL positions. Pad positions (>= length) never enter: the
+    ring gather stops at length-1, the CLS store is masked, and the dense
+    tail is only ever attended after being overwritten (decode masks
+    positions <= index).
+    """
+    last = length - 1  # newest written position
+    if "k_ring" in cache:
+        ring_len = cache["k_ring"].shape[2]
+        bs = cache["k_cls"].shape[2]
+        dt = cache["k_ring"].dtype
+        o = jnp.arange(ring_len)
+        # Final occupant of ring offset o after sequential writes 0..last:
+        # the largest pos <= last with pos % ring_len == o (or never
+        # written, when the prefix is shorter than the ring).
+        pos_o = last - ((last - o) % ring_len)
+        sel = jnp.clip(pos_o, 0, k.shape[1] - 1)
+        ring_ok = (pos_o >= 0)[None, :, None]
+        k_row = jnp.where(ring_ok, jnp.take(k, sel, axis=1), 0).astype(dt)
+        v_row = jnp.where(ring_ok, jnp.take(v, sel, axis=1), 0).astype(dt)
+        c = jnp.arange(bs)
+        cls_ok = (c <= last)[None, :, None]
+        csel = jnp.clip(c, 0, k.shape[1] - 1)
+        k_cls = jnp.where(cls_ok, jnp.take(k, csel, axis=1), 0).astype(dt)
+        v_cls = jnp.where(cls_ok, jnp.take(v, csel, axis=1), 0).astype(dt)
+        return {"k_ring": cache["k_ring"].at[row].set(k_row),
+                "v_ring": cache["v_ring"].at[row].set(v_row),
+                "k_cls": cache["k_cls"].at[row].set(k_cls),
+                "v_cls": cache["v_cls"].at[row].set(v_cls)}
+    dt = cache["k"].dtype
+    lp = min(k.shape[1], cache["k"].shape[2])
+    return {"k": cache["k"].at[row, :, :lp].set(k[:, :lp].astype(dt)),
+            "v": cache["v"].at[row, :, :lp].set(v[:, :lp].astype(dt))}

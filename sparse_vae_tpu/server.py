@@ -68,7 +68,7 @@ class ServeEngine:
                  sampling: SamplingParams = SamplingParams(),
                  start_token: int = 1, end_token: int = 2,
                  slice_steps: int = 64, fused_select: bool = False,
-                 rng_seed: int = 0):
+                 rng_seed: int = 0, bulk_prefill_min: int = 16):
         self.module = module
         self.params = params
         self.batch_size = batch_size
@@ -79,6 +79,15 @@ class ServeEngine:
                                        end_token, slice_steps, fused_select,
                                        interpret=False)
         self._latent = getattr(module.hparams, "latent_depth", 0)
+        # Prompts of >= bulk_prefill_min positions fill their row's KV
+        # caches with ONE teacher-forced forward (fill_cache_row) instead
+        # of prompt-length sequential decode steps; shorter prompts ride
+        # the forced-token path (RowDecodeState.prompt_len). Buckets are
+        # block-aligned so the sparse forward takes its blocked fast path.
+        self.bulk_prefill_min = bulk_prefill_min
+        self._prefill_align = max(
+            16, getattr(module.hparams, "attn_block_size", 64))
+        self._prefill_fns: dict = {}
         self._rng = jax.random.PRNGKey(rng_seed)
         self._live_host = np.zeros(batch_size, bool)  # read by snapshot()
         self._assigned: List[Optional[_Request]] = [None] * batch_size
@@ -105,6 +114,11 @@ class ServeEngine:
             raise ValueError(
                 f"prompt of {p} tokens exceeds the batch buffer "
                 f"(max_length={self.max_length})")
+        vocab = getattr(self.module.hparams, "vocab_size", None)
+        if p and (min(prompt_tokens) <= 0
+                  or (vocab and max(prompt_tokens) >= vocab)):
+            raise ValueError(
+                "prompt token ids must be in [1, vocab_size) — 0 is [PAD]")
         max_tokens = max(1, min(int(max_tokens),
                                 self.max_length - 2 - p))
         req = _Request(max_tokens=max_tokens, seed=seed,
@@ -161,6 +175,42 @@ class ServeEngine:
         return s
 
     # -- worker thread ---------------------------------------------------
+    def _get_prefill_fn(self, lp: int):
+        """Jitted bulk prefill for a padded prompt length `lp`: ONE
+        teacher-forced forward with the "cache_seed" collection mutable
+        (Attention.__call__ sows the head-major rotary K/V per layer),
+        then fill_cache_row writes the admitted row of every layer's
+        batched cache. Returns the updated caches (donated)."""
+        if lp in self._prefill_fns:
+            return self._prefill_fns[lp]
+
+        import functools
+
+        from .ops.attention import fill_cache_row
+
+        module, is_vae = self.module, self.is_vae
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def prefill(params, caches, row, ids, length, z):
+            if is_vae:
+                _, seeds = module.apply(
+                    {"params": params}, ids, z, mutable=["cache_seed"],
+                    method=type(module).reconstruct_hidden)
+            else:
+                _, seeds = module.apply(
+                    {"params": params}, ids, mutable=["cache_seed"],
+                    method=type(module).forward_hidden)
+            seeds = seeds["cache_seed"]
+            out = []
+            for i, cache in enumerate(caches):
+                kv = seeds[f"layer_{i}"]["attention"]
+                out.append(fill_cache_row(cache, row, kv["k"][-1][0],
+                                          kv["v"][-1][0], length))
+            return out
+
+        self._prefill_fns[lp] = prefill
+        return prefill
+
     def _draw_z(self, seed: Optional[int]) -> np.ndarray:
         if seed is None:
             self._rng, r = jax.random.split(self._rng)
@@ -228,6 +278,20 @@ class ServeEngine:
                 row_max_h[row] = p + req.max_tokens + 1
                 if self.is_vae:
                     z_h[row] = self._draw_z(req.seed)
+                if 1 + p >= self.bulk_prefill_min:
+                    # Bulk prefill: one forward fills this row's caches
+                    # with positions 0..p; decoding resumes at p + 1.
+                    align = self._prefill_align
+                    lp = min(self.max_length,
+                             -(-(1 + p) // align) * align)
+                    ids = np.zeros((1, lp), np.int32)
+                    ids[0, 0] = self.start_token
+                    ids[0, 1:1 + p] = req.prompt_tokens
+                    caches = self._get_prefill_fn(lp)(
+                        self.params, caches, jnp.asarray(row, jnp.int32),
+                        jnp.asarray(ids), jnp.asarray(1 + p, jnp.int32),
+                        jnp.asarray(z_h[row][None]))
+                    index_h[row] = 1 + p
                 admitted = True
                 dirty = True
             if not self._live_host.any():

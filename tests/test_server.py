@@ -8,6 +8,7 @@ import threading
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sparse_vae_tpu.models.generation import SamplingParams
 from sparse_vae_tpu.models.transformer_vae import (TransformerVAE,
@@ -125,6 +126,78 @@ class TestServeEngine:
                                   seed=1, timeout=300)
             np.testing.assert_array_equal(got[:5], prompt)
             assert len(got) == len(prompt) + 10
+        finally:
+            engine.shutdown()
+
+    @pytest.mark.parametrize("sparse", [True, False])
+    def test_bulk_prefill_equals_forced_prefill(self, sparse):
+        """Bulk prefill (one teacher-forced forward -> fill_cache_row)
+        must produce the same greedy continuation as forcing the prompt
+        token by token through the decode path — including a prompt long
+        enough to wrap the ring cache (ring = 16 positions here)."""
+        hp = TransformerVAEHparams(
+            d_model=32, num_heads=2, num_layers=2, latent_depth=8,
+            vocab_size=32, num_encoder_latents=4,
+            sparse_self_attention=sparse, attn_window_size=2,
+            attn_block_size=8, use_pallas_kernel=False)
+        model = TransformerVAE(hp)
+        rng = jax.random.PRNGKey(0)
+        params = model.init({"params": rng, "sample": rng},
+                            jnp.ones((1, 16), jnp.int32))["params"]
+        prompt = [int(t) for t in
+                  jax.random.randint(rng, (20,), 3, 32)]  # > ring wrap
+        outs = {}
+        for mode, threshold in (("bulk", 1), ("forced", 10 ** 9)):
+            engine = ServeEngine(model, params, batch_size=2,
+                                 max_length=48, sampling=GREEDY,
+                                 slice_steps=8, end_token=-1,
+                                 bulk_prefill_min=threshold)
+            try:
+                outs[mode] = engine.generate(max_tokens=12, seed=9,
+                                             prompt_tokens=prompt,
+                                             timeout=300)
+            finally:
+                engine.shutdown()
+        np.testing.assert_array_equal(outs["bulk"], outs["forced"])
+        np.testing.assert_array_equal(outs["bulk"][:20], prompt)
+        assert len(outs["bulk"]) == 32
+
+    def test_bulk_prefill_lm_family(self):
+        """The LM (no z) bulk-prefill path: forward_hidden seeds the
+        caches; continuation equals the forced-token path."""
+        from sparse_vae_tpu.models.transformer_lm import (
+            TransformerHparams, TransformerLanguageModel)
+        hp = TransformerHparams(
+            d_model=32, num_heads=2, num_layers=2, vocab_size=32,
+            sparse_self_attention=True, attn_window_size=2,
+            attn_block_size=8, use_pallas_kernel=False)
+        model = TransformerLanguageModel(hp)
+        rng = jax.random.PRNGKey(1)
+        params = model.init(rng, jnp.ones((1, 16), jnp.int32))["params"]
+        prompt = [int(t) for t in jax.random.randint(rng, (18,), 3, 32)]
+        outs = {}
+        for mode, threshold in (("bulk", 1), ("forced", 10 ** 9)):
+            engine = ServeEngine(model, params, batch_size=2,
+                                 max_length=48, sampling=GREEDY,
+                                 slice_steps=8, end_token=-1,
+                                 bulk_prefill_min=threshold)
+            try:
+                outs[mode] = engine.generate(max_tokens=10,
+                                             prompt_tokens=prompt,
+                                             timeout=300)
+            finally:
+                engine.shutdown()
+        np.testing.assert_array_equal(outs["bulk"], outs["forced"])
+
+    def test_bad_prompt_tokens_rejected(self):
+        model, params = _vae()
+        engine = ServeEngine(model, params, batch_size=2, max_length=32,
+                             sampling=GREEDY, slice_steps=8)
+        try:
+            with pytest.raises(ValueError, match="PAD"):
+                engine.submit(max_tokens=4, prompt_tokens=[3, 0, 5])
+            with pytest.raises(ValueError, match="PAD"):
+                engine.submit(max_tokens=4, prompt_tokens=[3, 99])
         finally:
             engine.shutdown()
 
