@@ -27,9 +27,14 @@ had been sampled) while the sampler's output is discarded (RowDecodeState
 
 Endpoints:
   POST /v1/generate  {"max_tokens": int=128, "seed": int?, "n": int=1,
-                      "prompt_tokens": [int]? | "prompt": str?}
+                      "prompt_tokens": [int]? | "prompt": str?,
+                      "stream": bool=false}
                      -> {"samples": [{"tokens": [...], "text": str?}, ..],
                          "latency_ms": float}
+                     stream=true (n=1): chunked application/x-ndjson —
+                     one {"tokens": [...]} line per decode slice as the
+                     tokens land, then {"done": true, "tokens_total": ..,
+                     "text": ..}.
   GET  /healthz      -> engine statistics (also at /v1/stats)
 """
 from __future__ import annotations
@@ -56,6 +61,10 @@ class _Request:
     max_tokens: int
     seed: Optional[int]
     prompt_tokens: Optional[List[int]] = None
+    # Streaming: when set, the engine pushes each slice's newly decoded
+    # tokens (a list of ints) onto this queue as they land, then None at
+    # completion; the Future still resolves with the full array.
+    chunks: Optional["queue.Queue"] = None
     future: Future = field(default_factory=Future)
     submitted_at: float = field(default_factory=time.monotonic)
 
@@ -103,7 +112,8 @@ class ServeEngine:
 
     # -- client API ----------------------------------------------------------
     def submit(self, max_tokens: int, seed: Optional[int] = None,
-               prompt_tokens: Optional[List[int]] = None) -> Future:
+               prompt_tokens: Optional[List[int]] = None,
+               stream: bool = False):
         """Enqueue one generation request; the Future resolves to the
         np.int32 token array (start token stripped, prompt INCLUDED, end
         token kept). prompt_tokens are prefilled through the decode path
@@ -122,7 +132,8 @@ class ServeEngine:
         max_tokens = max(1, min(int(max_tokens),
                                 self.max_length - 2 - p))
         req = _Request(max_tokens=max_tokens, seed=seed,
-                       prompt_tokens=list(prompt_tokens or ()))
+                       prompt_tokens=list(prompt_tokens or ()),
+                       chunks=queue.Queue() if stream else None)
         # The lock orders this put against shutdown()/worker failure: once
         # either has started failing pending requests (under the same
         # lock), no new request can slip into the drained queue unresolved.
@@ -133,7 +144,7 @@ class ServeEngine:
             if self._shutdown.is_set():
                 raise RuntimeError("engine is shut down")
             self._queue.put(req)
-        return req.future
+        return (req.future, req.chunks) if stream else req.future
 
     def generate(self, max_tokens: int, seed: Optional[int] = None,
                  prompt_tokens: Optional[List[int]] = None,
@@ -152,6 +163,8 @@ class ServeEngine:
             for row, req in enumerate(self._assigned):
                 if req is not None:
                     self._assigned[row] = None
+                    if req.chunks is not None:
+                        req.chunks.put(None)  # unblock streaming readers
                     if not req.future.done():
                         req.future.set_exception(exc)
             while True:
@@ -159,6 +172,8 @@ class ServeEngine:
                     req = self._queue.get_nowait()
                 except queue.Empty:
                     break
+                if req.chunks is not None:
+                    req.chunks.put(None)
                 if not req.future.done():
                     req.future.set_exception(exc)
 
@@ -244,6 +259,7 @@ class ServeEngine:
         self._live_host = np.zeros(b, bool)
         row_max_h = np.full(b, ml - 1, np.int32)
         prompt_len_h = np.zeros(b, np.int32)
+        reported_h = np.zeros(b, np.int32)  # streaming: last pushed index
         z_h = np.zeros((b, 1, max(self._latent, 1)), np.float32)
         z = jnp.asarray(z_h)
         assigned = self._assigned
@@ -276,6 +292,7 @@ class ServeEngine:
                 # of T generated tokens after a p-token prompt is
                 # row_max = p + T + 1.
                 row_max_h[row] = p + req.max_tokens + 1
+                reported_h[row] = 1 + p  # the prompt itself never streams
                 if self.is_vae:
                     z_h[row] = self._draw_z(req.seed)
                 if 1 + p >= self.bulk_prefill_min:
@@ -315,8 +332,19 @@ class ServeEngine:
 
             for row in range(b):
                 req = assigned[row]
+                if req is None or req.chunks is None:
+                    continue
+                new = tokens_h[row, reported_h[row]:index_h[row]]
+                if new.size:
+                    req.chunks.put([int(t) for t in new])
+                reported_h[row] = index_h[row]
+
+            for row in range(b):
+                req = assigned[row]
                 if req is None or self._live_host[row]:
                     continue
+                if req.chunks is not None:
+                    req.chunks.put(None)  # end-of-stream sentinel
                 out = tokens_h[row, 1:index_h[row]].astype(np.int32)
                 assigned[row] = None
                 self.stats["served"] += 1
@@ -371,6 +399,9 @@ def make_handler(engine: ServeEngine,
                     raise ValueError("body must be a JSON object")
                 n = max(1, min(int(req.get("n", 1)), engine.batch_size))
                 max_tokens = int(req.get("max_tokens", 128))
+                stream = bool(req.get("stream", False))
+                if stream and int(req.get("n", 1)) != 1:
+                    raise ValueError("stream=true requires n=1")
                 seed = req.get("seed")
                 seed = None if seed is None else int(seed)
                 prompt_tokens = req.get("prompt_tokens")
@@ -385,6 +416,9 @@ def make_handler(engine: ServeEngine,
             except (ValueError, TypeError, AttributeError,
                     json.JSONDecodeError) as e:
                 self._json(400, {"error": str(e)})
+                return
+            if stream:
+                self._stream(max_tokens, seed, prompt_tokens)
                 return
             t0 = time.monotonic()
             try:
@@ -409,6 +443,49 @@ def make_handler(engine: ServeEngine,
                 "samples": samples,
                 "latency_ms": round(1e3 * (time.monotonic() - t0), 1),
             })
+
+        def _stream(self, max_tokens, seed, prompt_tokens):
+            """Chunked ndjson: one {"tokens": [...]} line per decode slice
+            as tokens land, then a {"done": true, ...} trailer."""
+            try:
+                fut, chunks = engine.submit(max_tokens, seed, prompt_tokens,
+                                            stream=True)
+            except (ValueError, RuntimeError) as e:
+                self._json(400 if isinstance(e, ValueError) else 503,
+                           {"error": str(e)})
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def line(obj):
+                payload = (json.dumps(obj) + "\n").encode()
+                self.wfile.write(f"{len(payload):X}\r\n".encode()
+                                 + payload + b"\r\n")
+
+            deadline = time.monotonic() + request_timeout
+            while True:
+                try:
+                    chunk = chunks.get(
+                        timeout=max(0.1, deadline - time.monotonic()))
+                except queue.Empty:
+                    line({"done": True, "error": "timeout"})
+                    break
+                if chunk is None:
+                    try:
+                        toks = [int(t) for t in fut.result(1.0)]
+                        trailer = {"done": True, "tokens_total": len(toks)}
+                        if decode_fn is not None:
+                            trailer["text"] = decode_fn(
+                                [t for t in toks if t != 0])
+                    except Exception as e:  # noqa: BLE001 — to the client
+                        trailer = {"done": True,
+                                   "error": f"{type(e).__name__}: {e}"}
+                    line(trailer)
+                    break
+                line({"tokens": chunk})
+            self.wfile.write(b"0\r\n\r\n")
 
     return Handler
 

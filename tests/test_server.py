@@ -189,6 +189,69 @@ class TestServeEngine:
                 engine.shutdown()
         np.testing.assert_array_equal(outs["bulk"], outs["forced"])
 
+    def test_streaming_chunks_concatenate_to_result(self):
+        """submit(stream=True): per-slice chunks arrive while decoding,
+        end with the None sentinel, and concatenate to exactly the
+        post-prompt part of the final result."""
+        model, params = _vae()
+        engine = ServeEngine(model, params, batch_size=2, max_length=48,
+                             sampling=GREEDY, slice_steps=4, end_token=-1)
+        try:
+            prompt = [5, 6, 7]
+            fut, chunks = engine.submit(max_tokens=12, seed=8,
+                                        prompt_tokens=prompt, stream=True)
+            got = []
+            n_chunks = 0
+            while True:
+                c = chunks.get(timeout=300)
+                if c is None:
+                    break
+                got.extend(c)
+                n_chunks += 1
+            final = fut.result(60)
+            assert n_chunks >= 3  # 12 tokens through 4-step slices
+            np.testing.assert_array_equal(got, final[len(prompt):])
+        finally:
+            engine.shutdown()
+
+    def test_http_streaming_ndjson(self):
+        model, params = _vae()
+        engine = ServeEngine(model, params, batch_size=2, max_length=32,
+                             sampling=GREEDY, slice_steps=4, end_token=-1)
+        server = run_server(engine, port=0,
+                            decode_fn=lambda ids: f"<{len(ids)}>")
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", port,
+                                              timeout=300)
+            conn.request("POST", "/v1/generate",
+                         json.dumps({"max_tokens": 10, "stream": True,
+                                     "seed": 2}))
+            resp = conn.getresponse()
+            assert resp.status == 200
+            assert resp.headers["Content-Type"] == "application/x-ndjson"
+            lines = [json.loads(ln) for ln in
+                     resp.read().decode().strip().split("\n")]
+            assert len(lines) >= 3  # >= 2 token chunks + trailer
+            token_lines = [ln for ln in lines if "tokens" in ln]
+            trailer = lines[-1]
+            assert trailer["done"] and "error" not in trailer
+            total = sum(len(ln["tokens"]) for ln in token_lines)
+            assert trailer["tokens_total"] == total == 10
+            assert trailer["text"] == f"<{total}>"
+            # stream + n>1 is a 400
+            conn.request("POST", "/v1/generate",
+                         json.dumps({"stream": True, "n": 2}))
+            resp = conn.getresponse()
+            assert resp.status == 400
+            resp.read()
+            conn.close()
+        finally:
+            server.shutdown()
+            engine.shutdown()
+
     def test_bad_prompt_tokens_rejected(self):
         model, params = _vae()
         engine = ServeEngine(model, params, batch_size=2, max_length=32,
