@@ -94,6 +94,34 @@ def top_p_filter(logits, top_p: float, num_iters: int = 24):
     return jnp.where(keep, logits, -jnp.inf)
 
 
+def _select_token_rows(logits, sample_rng, params: SamplingParams,
+                       overrides: dict):
+    """_select_token with PER-ROW sampling parameters as traced [B] arrays
+    (serving: every request picks its own temperature / top_p /
+    repetition_penalty without recompiling the slice — overrides ride the
+    jit as data). Static params supply anything absent from `overrides`;
+    per-row temperature <= 0 means greedy for that row; per-row
+    top_p >= 1 disables the nucleus filter for that row. The engine-level
+    top_k stays static (lax.top_k shapes cannot vary per row)."""
+    temp = overrides.get("temperature")
+    if temp is None:
+        temp = jnp.full(logits.shape[0], params.temperature, jnp.float32)
+    top_p = overrides.get("top_p")
+    if top_p is None:
+        top_p = jnp.full(logits.shape[0], params.top_p, jnp.float32)
+
+    scaled = logits / jnp.maximum(temp, 1e-6)[:, None]
+    if params.top_k > 1:
+        kth = jax.lax.top_k(scaled, params.top_k)[0][..., -1:]
+        scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+    filtered = top_p_filter(scaled, top_p[:, None])
+    scaled = jnp.where((top_p >= 1.0)[:, None], scaled, filtered)
+    sampled = jax.random.categorical(sample_rng, scaled, axis=-1)
+    greedy = (temp <= 0.0) | (params.top_k == 1)
+    return jnp.where(greedy, jnp.argmax(logits, axis=-1),
+                     sampled).astype(jnp.int32)
+
+
 def _select_token(logits, sample_rng, params: SamplingParams,
                   fused: bool = False, interpret: bool = False):
     """Shared token selection: temperature, top-k, nucleus (bisection or
@@ -232,15 +260,32 @@ def apply_repetition_penalty_rowwise(logits, tokens, index, penalty: float,
 def process_logits_rowwise(logits, state: RowDecodeState,
                            params: SamplingParams, end_token: int,
                            fused: bool = False,
-                           interpret: bool = False) -> RowDecodeState:
+                           interpret: bool = False,
+                           overrides: Optional[dict] = None
+                           ) -> RowDecodeState:
     """Per-row process_logits: write at each row's own index, advance only
-    live rows (finished rows freeze in place for the host to harvest)."""
+    live rows (finished rows freeze in place for the host to harvest).
+    overrides: optional per-row [B] sampling-parameter arrays
+    (_select_token_rows) — traced data, so one compiled step serves any
+    mix of per-request temperatures/top_p/penalties."""
     rng, sample_rng = jax.random.split(state.rng)
-    if params.repetition_penalty > 1.0:
+    if overrides is not None:
+        pen = overrides.get("repetition_penalty")
+        if pen is None:
+            pen = jnp.full(logits.shape[0], params.repetition_penalty,
+                           jnp.float32)
+        # penalty 1.0 rows are an exact no-op (x*1, x/1), so the penalty
+        # always applies under overrides — no static gate needed.
         logits = apply_repetition_penalty_rowwise(
-            logits, state.tokens, state.index, params.repetition_penalty,
+            logits, state.tokens, state.index, pen[:, None],
             params.repetition_window)
-    token = _select_token(logits, sample_rng, params, fused, interpret)
+        token = _select_token_rows(logits, sample_rng, params, overrides)
+    else:
+        if params.repetition_penalty > 1.0:
+            logits = apply_repetition_penalty_rowwise(
+                logits, state.tokens, state.index,
+                params.repetition_penalty, params.repetition_window)
+        token = _select_token(logits, sample_rng, params, fused, interpret)
     token = jnp.where(state.live, token, 0)
 
     b = state.tokens.shape[0]
@@ -271,7 +316,8 @@ def process_logits_rowwise(logits, state: RowDecodeState,
 def decode_loop_rowwise(state: RowDecodeState, logits_fn, carry,
                         params: SamplingParams, end_token: int,
                         max_steps: int, fused_select: bool = False,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        overrides: Optional[dict] = None):
     """Bounded per-row decode slice: at most `max_steps` tokens per live
     row, one device computation. Returns the (resumable) state and carry —
     the continuous-batching host loop harvests/refills between slices."""
@@ -283,7 +329,8 @@ def decode_loop_rowwise(state: RowDecodeState, logits_fn, carry,
         st, cr, steps = loop
         logits, cr = logits_fn(st, cr)
         st = process_logits_rowwise(logits, st, params, end_token,
-                                    fused=fused_select, interpret=interpret)
+                                    fused=fused_select, interpret=interpret,
+                                    overrides=overrides)
         return st, cr, steps + 1
 
     state, carry, _ = jax.lax.while_loop(

@@ -28,7 +28,12 @@ had been sampled) while the sampler's output is discarded (RowDecodeState
 Endpoints:
   POST /v1/generate  {"max_tokens": int=128, "seed": int?, "n": int=1,
                       "prompt_tokens": [int]? | "prompt": str?,
-                      "stream": bool=false}
+                      "stream": bool=false, "temperature": float?,
+                      "top_p": float?, "repetition_penalty": float?}
+                     Per-request sampling parameters are traced [B] arrays
+                     in the compiled slice — any mix of requests shares
+                     ONE executable (temperature 0 = greedy; engine-level
+                     top_k stays static).
                      -> {"samples": [{"tokens": [...], "text": str?}, ..],
                          "latency_ms": float}
                      stream=true (n=1): chunked application/x-ndjson —
@@ -61,6 +66,12 @@ class _Request:
     max_tokens: int
     seed: Optional[int]
     prompt_tokens: Optional[List[int]] = None
+    # Per-request sampling overrides (None = the engine's SamplingParams):
+    # traced per-row arrays in the compiled slice, so any mix of requests
+    # shares one executable (generation._select_token_rows).
+    temperature: Optional[float] = None
+    top_p: Optional[float] = None
+    repetition_penalty: Optional[float] = None
     # Streaming: when set, the engine pushes each slice's newly decoded
     # tokens (a list of ints) onto this queue as they land, then None at
     # completion; the Future still resolves with the full array.
@@ -83,6 +94,11 @@ class ServeEngine:
         self.batch_size = batch_size
         self.max_length = max_length
         self.start_token = start_token
+        self.sampling = sampling
+        # Per-request sampling overrides ride the slice as [B] arrays —
+        # except under the fused selection kernel, which takes its
+        # parameters statically.
+        self._use_overrides = not fused_select
         self.is_vae = rowwise_family(module)
         self._slice_fn = _get_slice_fn(module, self.is_vae, sampling,
                                        end_token, slice_steps, fused_select,
@@ -113,7 +129,9 @@ class ServeEngine:
     # -- client API ----------------------------------------------------------
     def submit(self, max_tokens: int, seed: Optional[int] = None,
                prompt_tokens: Optional[List[int]] = None,
-               stream: bool = False):
+               stream: bool = False, temperature: Optional[float] = None,
+               top_p: Optional[float] = None,
+               repetition_penalty: Optional[float] = None):
         """Enqueue one generation request; the Future resolves to the
         np.int32 token array (start token stripped, prompt INCLUDED, end
         token kept). prompt_tokens are prefilled through the decode path
@@ -131,8 +149,16 @@ class ServeEngine:
                 "prompt token ids must be in [1, vocab_size) — 0 is [PAD]")
         max_tokens = max(1, min(int(max_tokens),
                                 self.max_length - 2 - p))
+        if not self._use_overrides and any(
+                v is not None for v in (temperature, top_p,
+                                        repetition_penalty)):
+            raise ValueError(
+                "per-request sampling overrides are unavailable with "
+                "fused_select=True (the kernel takes static parameters)")
         req = _Request(max_tokens=max_tokens, seed=seed,
                        prompt_tokens=list(prompt_tokens or ()),
+                       temperature=temperature, top_p=top_p,
+                       repetition_penalty=repetition_penalty,
                        chunks=queue.Queue() if stream else None)
         # The lock orders this put against shutdown()/worker failure: once
         # either has started failing pending requests (under the same
@@ -148,8 +174,9 @@ class ServeEngine:
 
     def generate(self, max_tokens: int, seed: Optional[int] = None,
                  prompt_tokens: Optional[List[int]] = None,
-                 timeout: Optional[float] = 600.0) -> np.ndarray:
-        return self.submit(max_tokens, seed, prompt_tokens).result(timeout)
+                 timeout: Optional[float] = 600.0, **sampling) -> np.ndarray:
+        return self.submit(max_tokens, seed, prompt_tokens,
+                           **sampling).result(timeout)
 
     def shutdown(self, timeout: float = 30.0):
         self._shutdown.set()
@@ -260,8 +287,15 @@ class ServeEngine:
         row_max_h = np.full(b, ml - 1, np.int32)
         prompt_len_h = np.zeros(b, np.int32)
         reported_h = np.zeros(b, np.int32)  # streaming: last pushed index
+        temp_h = np.full(b, self.sampling.temperature, np.float32)
+        topp_h = np.full(b, self.sampling.top_p, np.float32)
+        rp_h = np.full(b, self.sampling.repetition_penalty, np.float32)
         z_h = np.zeros((b, 1, max(self._latent, 1)), np.float32)
         z = jnp.asarray(z_h)
+        overrides = ({"temperature": jnp.asarray(temp_h),
+                      "top_p": jnp.asarray(topp_h),
+                      "repetition_penalty": jnp.asarray(rp_h)}
+                     if self._use_overrides else None)
         assigned = self._assigned
         dirty = True  # host mirrors differ from device state
 
@@ -293,6 +327,13 @@ class ServeEngine:
                 # row_max = p + T + 1.
                 row_max_h[row] = p + req.max_tokens + 1
                 reported_h[row] = 1 + p  # the prompt itself never streams
+                s = self.sampling
+                temp_h[row] = (s.temperature if req.temperature is None
+                               else req.temperature)
+                topp_h[row] = s.top_p if req.top_p is None else req.top_p
+                rp_h[row] = (s.repetition_penalty
+                             if req.repetition_penalty is None
+                             else req.repetition_penalty)
                 if self.is_vae:
                     z_h[row] = self._draw_z(req.seed)
                 if 1 + p >= self.bulk_prefill_min:
@@ -322,9 +363,15 @@ class ServeEngine:
                     rng=state.rng, row_max=jnp.asarray(row_max_h),
                     prompt_len=jnp.asarray(prompt_len_h))
                 z = jnp.asarray(z_h)  # z only changes on admission
+                if self._use_overrides:
+                    overrides = {
+                        "temperature": jnp.asarray(temp_h),
+                        "top_p": jnp.asarray(topp_h),
+                        "repetition_penalty": jnp.asarray(rp_h)}
                 dirty = False
 
-            state, caches = self._slice_fn(self.params, state, caches, z)
+            state, caches = self._slice_fn(self.params, state, caches, z,
+                                           overrides)
             self.stats["slices"] += 1
             tokens_h = np.array(state.tokens)
             index_h = np.array(state.index)
@@ -404,6 +451,9 @@ def make_handler(engine: ServeEngine,
                     raise ValueError("stream=true requires n=1")
                 seed = req.get("seed")
                 seed = None if seed is None else int(seed)
+                sp = {k: (None if req.get(k) is None else float(req[k]))
+                      for k in ("temperature", "top_p",
+                                "repetition_penalty")}
                 prompt_tokens = req.get("prompt_tokens")
                 if prompt_tokens is not None:
                     prompt_tokens = [int(t) for t in prompt_tokens]
@@ -418,14 +468,14 @@ def make_handler(engine: ServeEngine,
                 self._json(400, {"error": str(e)})
                 return
             if stream:
-                self._stream(max_tokens, seed, prompt_tokens)
+                self._stream(max_tokens, seed, prompt_tokens, sp)
                 return
             t0 = time.monotonic()
             try:
                 futures = [
                     engine.submit(max_tokens,
                                   None if seed is None else int(seed) + i,
-                                  prompt_tokens)
+                                  prompt_tokens, **sp)
                     for i in range(n)
                 ]
                 samples = []
@@ -444,12 +494,12 @@ def make_handler(engine: ServeEngine,
                 "latency_ms": round(1e3 * (time.monotonic() - t0), 1),
             })
 
-        def _stream(self, max_tokens, seed, prompt_tokens):
+        def _stream(self, max_tokens, seed, prompt_tokens, sp):
             """Chunked ndjson: one {"tokens": [...]} line per decode slice
             as tokens land, then a {"done": true, ...} trailer."""
             try:
                 fut, chunks = engine.submit(max_tokens, seed, prompt_tokens,
-                                            stream=True)
+                                            stream=True, **sp)
             except (ValueError, RuntimeError) as e:
                 self._json(400 if isinstance(e, ValueError) else 503,
                            {"error": str(e)})

@@ -64,7 +64,7 @@ def _get_slice_fn(module, is_vae: bool, sampling: SamplingParams,
     import functools as _ft
 
     @_ft.partial(jax.jit, donate_argnums=(1, 2))
-    def slice_fn(params, state, caches, z):
+    def slice_fn(params, state, caches, z, overrides=None):
         def logits_fn(st: RowDecodeState, caches):
             prev = prev_tokens_rowwise(st)
             pos = st.index - 1
@@ -81,7 +81,8 @@ def _get_slice_fn(module, is_vae: bool, sampling: SamplingParams,
         return decode_loop_rowwise(state, logits_fn, caches, sampling,
                                    end_token, slice_steps,
                                    fused_select=fused_select,
-                                   interpret=interpret)
+                                   interpret=interpret,
+                                   overrides=overrides)
 
     _SLICE_CACHE[key] = slice_fn
     return slice_fn

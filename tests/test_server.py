@@ -189,6 +189,39 @@ class TestServeEngine:
                 engine.shutdown()
         np.testing.assert_array_equal(outs["bulk"], outs["forced"])
 
+    def test_per_request_temperature_zero_is_greedy(self):
+        """A SAMPLING engine (temperature 1.0 default) serving a request
+        with temperature=0 must reproduce the greedy scalar trajectory for
+        that row — the per-row override path, one shared executable."""
+        model, params = _vae()
+        engine = ServeEngine(model, params, batch_size=3, max_length=40,
+                             sampling=SamplingParams(
+                                 temperature=1.0, top_p=0.9), slice_steps=8)
+        try:
+            # Mixed batch: two sampled rows in flight plus the greedy one.
+            bg = [engine.submit(max_tokens=30, seed=50 + i)
+                  for i in range(2)]
+            got = engine.generate(max_tokens=38, seed=11, temperature=0.0,
+                                  timeout=300)
+            for f in bg:
+                f.result(300)
+            ref = _scalar_reference(model, params, 11, 40)
+            n = min(len(got), len(ref))
+            np.testing.assert_array_equal(got[:n], ref[:n])
+        finally:
+            engine.shutdown()
+
+    def test_fused_select_rejects_overrides(self):
+        model, params = _vae()
+        engine = ServeEngine(model, params, batch_size=2, max_length=32,
+                             sampling=SamplingParams(temperature=1.0),
+                             slice_steps=8, fused_select=True)
+        try:
+            with pytest.raises(ValueError, match="fused_select"):
+                engine.submit(max_tokens=4, temperature=0.5)
+        finally:
+            engine.shutdown()
+
     def test_streaming_chunks_concatenate_to_result(self):
         """submit(stream=True): per-slice chunks arrive while decoding,
         end with the None sentinel, and concatenate to exactly the
