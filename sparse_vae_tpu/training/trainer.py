@@ -279,6 +279,11 @@ class Trainer:
             restored = self.ckpt.restore(template)
             params, opt_state = restored["params"], restored["opt_state"]
             step, rng = int(restored["step"]), restored["rng"]
+            # Orbax restores the rng key COMMITTED to device 0; params on a
+            # param-sharded mesh (ep/tp) are committed to all mesh devices,
+            # and jit refuses mixed committed device sets. Re-place the key
+            # as uncommitted host data (mesh runs replicate it via in_specs).
+            rng = jnp.asarray(np.asarray(rng))
 
         k_accum = self.thp.accumulate_grad_batches
         num_train_batches = max(1, self.data.num_batches("train"))
