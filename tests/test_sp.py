@@ -569,3 +569,101 @@ class TestGuards:
                                    grad_clip_threshold=5.0)
         with pytest.raises(ValueError, match="sp_localize"):
             make_train_step(model, objective, optimizer, mesh=seq_mesh)
+
+
+@pytest.fixture(scope="module")
+def mesh3d():
+    """data=2 x seq=2 x model=2 — the mesh an actual v5e-8 would want for
+    the pg19 regime (SP for the 100k-token document, TP for the tied-32k
+    head, DP for the rest; VERDICT r3 #7)."""
+    return create_mesh(num_devices=8, seq_axis=2, model_axis=2,
+                       devices=jax.devices("cpu"))
+
+
+class Test3AxisMesh:
+    """data x seq x model composed in ONE production train step."""
+
+    def _setup(self):
+        from sparse_vae_tpu.models.transformer_vae import (
+            TransformerVAE, TransformerVAEHparams)
+        from sparse_vae_tpu.models.vae import VAEObjective
+
+        # d_model 128 so the Perceiver's derived head count (d_model//64=2)
+        # divides the model axis; tied weights + chunked CE so the vocab-
+        # parallel head path (parallel/tp.py shards_vocab) is exercised —
+        # this is the pg19 production configuration in miniature.
+        hp = TransformerVAEHparams(
+            d_model=128, num_heads=4, num_layers=2, latent_depth=8,
+            vocab_size=256, num_encoder_latents=4,
+            sparse_self_attention=True, attn_window_size=2,
+            attn_block_size=16, tie_embedding_weights=True,
+            use_pallas_kernel=False, loss_chunk_size=32)
+        return TransformerVAE(hp), VAEObjective(hp), hp
+
+    def test_vae_train_step_exact_data_x_seq_x_model(self, mesh3d):
+        """One optimizer step on the 2x2x2 mesh == the single-device step
+        with the pinned RNG semantics (fold by data shard, split per
+        microbatch) — loss and every updated parameter, through the
+        sp-localized + tp-localized module with the TP-aware clip."""
+        import optax
+
+        from sparse_vae_tpu.parallel.spmd import make_train_step, shard_batch
+        from sparse_vae_tpu.parallel.tp import shards_vocab, tp_localize
+        from sparse_vae_tpu.training.optimizer import make_optimizer
+
+        model, objective, hp = self._setup()
+        assert shards_vocab(hp, 2), "test must cover the vocab-sharded head"
+        m3 = sp_localize(tp_localize(model, 2), 2)
+        opt3 = make_optimizer(lr=1e-2, lr_decay_steps=1000,
+                              grad_clip_threshold=5.0, tp_size=2,
+                              tp_shard_vocab=True)
+        opt1 = make_optimizer(lr=1e-2, lr_decay_steps=1000,
+                              grad_clip_threshold=5.0)
+
+        rng = jax.random.PRNGKey(5)
+        k, b, L = 2, 4, 256   # 2 rows per data shard; 128 tokens per seq shard
+        batch = _batch(rng, k, b, L, 256)
+        params = model.init({"params": rng, "sample": rng},
+                            batch["token_ids"][0][:1])["params"]
+        opt_state = opt3.init(params)
+        clone = lambda t: jax.tree.map(jnp.array, t)
+
+        step_fn = make_train_step(m3, objective, opt3, mesh=mesh3d)
+        step_rng = jax.random.PRNGKey(13)
+        p1, o1, m1 = step_fn(clone(params), clone(opt_state),
+                             shard_batch(batch, mesh3d, stacked=True),
+                             jnp.asarray(0), step_rng)
+
+        # Single-device reference: psum'd-sums composition over the 2 data
+        # shards, accumulated over k microbatches, through the tp-size-1
+        # optimizer (the TP-aware clip must equal the full-tree clip).
+        rows_per = b // 2
+
+        def micro_loss(p, i):
+            sums = counts = None
+            for s in range(2):
+                rng_s = jax.random.fold_in(step_rng, s)
+                rngs_s = jax.random.split(rng_s, k)
+                mb = {name: arr[i, s * rows_per:(s + 1) * rows_per]
+                      for name, arr in batch.items()}
+                su, co = objective.loss_sums(model, p, mb, 0, rngs_s[i])
+                sums = su if sums is None else jax.tree.map(jnp.add, sums,
+                                                            su)
+                counts = co if counts is None else jax.tree.map(
+                    jnp.add, counts, co)
+            return objective.compose_loss(sums, counts, 0)
+
+        grads_acc, losses = None, []
+        for i in range(k):
+            (loss_i, _), g = jax.value_and_grad(
+                lambda p: micro_loss(p, i), has_aux=True)(params)
+            losses.append(float(loss_i))
+            grads_acc = g if grads_acc is None else jax.tree.map(
+                jnp.add, grads_acc, g)
+        grads = jax.tree.map(lambda x: x / k, grads_acc)
+        updates, _ = opt1.update(grads, opt_state, params)
+        p0 = optax.apply_updates(params, updates)
+
+        np.testing.assert_allclose(float(m1["loss"]), np.mean(losses),
+                                   rtol=1e-5)
+        _tree_allclose(p1, p0, rtol=2e-4, atol=2e-6)
