@@ -10,6 +10,15 @@ One deliberate deviation: sparse-attention geometry is expressed in TPU-native
 sparse_attention.py:13). `attn_window_size` below is therefore in 128-token
 blocks, chosen so the attended token span matches or exceeds the reference
 preset's span (e.g. reference pg19 window 6x32=192 tokens -> 2x128=256 here).
+
+Every transformer preset also carries the TPU production-path settings
+(loss_chunk_size=2048, precision='bf16', remat_policy='dots_attn_qkv' — the
+equivalents of the reference's chunked robust_cross_entropy, fp16 AMP, and
+per-layer grad checkpointing). Without loss_chunk_size the objective
+materializes the full [B, L, 32768] logits tensor, which at the wikipedia
+preset's 50k-token documents is a 10 GB fp32 buffer — a guaranteed
+single-chip HBM OOM. Presets must run as shipped, so the chunked path is
+baked in rather than left to the CLI.
 """
 
 hparam_presets = {
@@ -63,6 +72,9 @@ hparam_presets = {
             max_tokens_per_sample=3_125,
         ),
         'model': dict(
+            loss_chunk_size=2048,
+            precision='bf16',
+            remat_policy='dots_attn_qkv',
             d_model=512,
             grad_checkpointing=True,
             grad_clip_threshold=150.0,
@@ -87,6 +99,9 @@ hparam_presets = {
             max_tokens_per_sample=3_125,
         ),
         'model': dict(
+            loss_chunk_size=2048,
+            precision='bf16',
+            remat_policy='dots_attn_qkv',
             d_model=512,
             grad_checkpointing=True,
             grad_clip_threshold=150.0,
@@ -110,6 +125,9 @@ hparam_presets = {
             max_tokens_per_sample=3_125,
         ),
         'model': dict(
+            loss_chunk_size=2048,
+            precision='bf16',
+            remat_policy='dots_attn_qkv',
             d_model=512,
             grad_checkpointing=True,
             grad_clip_threshold=150.0,
@@ -130,6 +148,9 @@ hparam_presets = {
             max_tokens_per_sample=50_000,
         ),
         'model': dict(
+            loss_chunk_size=2048,
+            precision='bf16',
+            remat_policy='dots_attn_qkv',
             d_model=512,
             grad_checkpointing=True,
             grad_clip_threshold=150.0,
@@ -155,6 +176,9 @@ hparam_presets = {
             max_tokens_per_sample=102_400,
         ),
         'model': dict(
+            loss_chunk_size=2048,
+            precision='bf16',
+            remat_policy='dots_attn_qkv',
             d_model=512,
             grad_checkpointing=True,
             grad_clip_threshold=150.0,
@@ -180,6 +204,9 @@ hparam_presets = {
             max_tokens_per_sample=92_160,
         ),
         'model': dict(
+            loss_chunk_size=2048,
+            precision='bf16',
+            remat_policy='dots_attn_qkv',
             d_model=512,
             grad_checkpointing=True,
             grad_clip_threshold=150.0,

@@ -36,3 +36,20 @@ class TestPresets:
         assert cfg.data.tokens_per_batch > 0
         assert type(module).__name__ in (
             "LSTMVAE", "TransformerVAE", "TransformerLanguageModel")
+
+    TRANSFORMER_PRESETS = [p for p, m in PRESET_MODEL.items()
+                           if m.startswith('transformer')]
+
+    @pytest.mark.parametrize("preset", sorted(TRANSFORMER_PRESETS))
+    def test_transformer_presets_carry_tpu_production_path(self, preset):
+        """Presets must run as shipped on a single chip: the chunked
+        projection+CE path (no [B, L, 32768] logits buffer — 10 GB fp32 at
+        the wikipedia preset's 50k-token documents), bf16 activations, and
+        the measured-best remat policy."""
+        from sparse_vae_tpu import build_model
+
+        cfg = assemble_config(PRESET_MODEL[preset], [f"preset={preset}"])
+        _, hparams, _ = build_model(PRESET_MODEL[preset], cfg.model_overrides)
+        assert hparams.loss_chunk_size > 0
+        assert hparams.precision == 'bf16'
+        assert hparams.remat_policy == 'dots_attn_qkv'
