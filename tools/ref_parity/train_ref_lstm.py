@@ -49,7 +49,8 @@ def build_dm(args):
     dm = TextDataModule(TextDataModuleHparams(
         dataset_name="local-prose", tokens_per_batch=args.tokens_per_batch,
         min_tokens_per_sample=32, max_tokens_per_sample=args.chunk,
-        chunk_documents=True, vocab_size=args.vocab))
+        chunk_documents=True, vocab_size=args.vocab,
+        test_size=args.test_size))
     dm.prepare_data()
     return dm
 
@@ -118,6 +119,8 @@ def main():
     ap.add_argument("--vocab", type=int, default=32768)
     ap.add_argument("--chunk", type=int, default=512)
     ap.add_argument("--tokens_per_batch", type=int, default=4096)
+    ap.add_argument("--test_size", type=int, default=None,
+                    help="test-split document count (match the jax run)")
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--lr_decay_steps", type=int, default=250_000)
     ap.add_argument("--grad_clip", type=float, default=150.0)
