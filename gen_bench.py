@@ -50,6 +50,7 @@ def main(args):
     window = int(extra.get("window", 512))
     draft = int(extra.get("draft", 3))
     run_full = extra.get("full", "0") == "1"
+    check = extra.get("check", "0") == "1"
     modes = extra.get("modes", "greedy,sampled").split(",")
 
     import jax
@@ -114,10 +115,15 @@ def main(args):
 
         t_ar, ar_out = timed(ar)
         rows = {"ar": (t_ar, seq - 1)}
+        extras = {}
         if getattr(hparams, "sparse_self_attention", False):
             t_f, (f_out, f_it) = timed(frontier, False, 0)
             rows["frontier"] = (t_f, int(f_it))
             greedy = sampling.temperature <= 0.0 or sampling.top_k == 1
+            if check and greedy:
+                import numpy as np
+                mism = int((np.asarray(ar_out) != np.asarray(f_out)).sum())
+                extras["frontier_mismatch_tokens"] = mism
             if draft > 0 and greedy:
                 # Greedy only: suffix-match drafts cannot anticipate the
                 # Gumbel-perturbed fixed point, and overwriting the stale
@@ -126,6 +132,14 @@ def main(args):
                 # to trip the device execution limit.
                 t_fd, (fd_out, fd_it) = timed(frontier, False, draft)
                 rows[f"frontier_draft{draft}"] = (t_fd, int(fd_it))
+                if check:
+                    # Greedy Jacobi's contract: the fixed point IS the AR
+                    # trajectory — drafted or not. check=1 verifies the
+                    # decoded tokens on the chip, not just in unit tests.
+                    import numpy as np
+                    mism = int((np.asarray(ar_out)
+                                != np.asarray(fd_out)).sum())
+                    extras[f"draft{draft}_mismatch_tokens"] = mism
             if not greedy:
                 try:
                     t_ff, (ff_out, ff_it) = timed(frontier, True, 0)
@@ -151,6 +165,7 @@ def main(args):
                    default=None)
         return {"mode": label, **{k: round(t, 3)
                                   for k, (t, _) in rows.items()},
+                **extras,
                 # null (not a fabricated 0.0) when no parallel decoder ran
                 # (dense checkpoint with full=0: AR is the only row).
                 "parallel_speedup_vs_ar": (round(t_ar / best, 3)

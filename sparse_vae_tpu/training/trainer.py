@@ -54,6 +54,27 @@ class TrainOutcome:
     metrics_history: list
 
 
+def early_stop_start_step(thp: TrainerHparams, hp) -> int:
+    """First step at which the early-stopping monitor is armed.
+
+    Explicit `thp.early_stopping_start_step` wins. The None default derives
+    it from the model: while the KL weight is still annealing
+    (kl_weight_start != kl_weight_end), validation NLL transiently worsens
+    as the KL term phases in — it is not comparable across steps, so
+    counting patience or recording a "best" checkpoint there is wrong both
+    ways (measured: the round-4 flagship retrain early-stopped at step 1131
+    of a 2000-step anneal, pinning a kl_weight~0.6 checkpoint as best).
+    Models without a KL schedule (plain LMs) arm at step 0 as before.
+    """
+    if thp.early_stopping_start_step is not None:
+        return int(thp.early_stopping_start_step)
+    ws = getattr(hp, "kl_weight_start", None)
+    we = getattr(hp, "kl_weight_end", None)
+    if ws is not None and we is not None and we != ws:
+        return int(getattr(hp, "kl_annealing_steps", 0) or 0)
+    return 0
+
+
 class Trainer:
     def __init__(
         self,
@@ -293,6 +314,10 @@ class Trainer:
         best_metric, patience_left = None, self.thp.early_stopping_patience
         history, stopped = [], "max_epochs"
         metric_name = self.hp.early_stopping_metric
+        # Early stopping is disarmed while the KL weight is still annealing:
+        # the monitored metric is not comparable across steps until the
+        # objective stops moving (see TrainerHparams.early_stopping_start_step).
+        es_start = early_stop_start_step(self.thp, self.hp)
         t0, tokens_seen = time.time(), 0
 
         # jax.profiler trace of a few steady-state steps (skips the compile
@@ -340,7 +365,7 @@ class Trainer:
                     self.writer.scalars(val_metrics, step)
                     history.append({"step": step, **val_metrics})
                     monitored = val_metrics.get(metric_name)
-                    if monitored is not None:
+                    if monitored is not None and step >= es_start:
                         if best_metric is None or monitored < best_metric:
                             best_metric = monitored
                             patience_left = self.thp.early_stopping_patience

@@ -131,6 +131,16 @@ class TrainerHparams:
     sample_every_n_steps: int = 500   # TextSamplingCallback interval (ref :12)
     checkpoint_every_n_steps: int = 1000
     early_stopping_patience: int = 3
+    # Step before which the early-stopping monitor is DISARMED (no best-
+    # metric tracking, no patience countdown). None = auto: the end of the
+    # model's KL-annealing window when it has one, else 0. Rationale: while
+    # kl_weight is still rising the monitored val metric is not comparable
+    # across steps — reconstruction NLL transiently worsens as the KL term
+    # phases in, which both (a) trips patience mid-anneal (measured: the
+    # round-4 flagship retrain stopped at step 1131 of a 2000-step anneal)
+    # and (b) pins a low-kl_weight checkpoint (a plain autoencoder, not the
+    # VAE being trained) as "best".
+    early_stopping_start_step: Optional[int] = None
     num_devices: Optional[int] = None  # None => all available
     # Mesh factorization: num_devices = data x seq_parallel x model_parallel.
     # seq_parallel>1 shards the batch LENGTH axis (parallel/sp.py — the

@@ -181,3 +181,52 @@ class TestTrainerEndToEnd:
         for k in a:
             assert a[k] == b[k]
             assert a[k] == logged[k]
+
+    def test_early_stop_start_step_derivation(self):
+        from types import SimpleNamespace
+
+        from sparse_vae_tpu.training.trainer import early_stop_start_step
+
+        lm_hp = tiny_hparams()  # no KL schedule -> armed from step 0
+        assert early_stop_start_step(TrainerHparams(), lm_hp) == 0
+        # explicit value always wins
+        assert early_stop_start_step(
+            TrainerHparams(early_stopping_start_step=123), lm_hp) == 123
+        # a KL-annealed model arms at the end of the anneal
+        vae_hp = SimpleNamespace(kl_weight_start=0.1, kl_weight_end=1.0,
+                                 kl_annealing_steps=700)
+        assert early_stop_start_step(TrainerHparams(), vae_hp) == 700
+        # constant KL weight = no anneal -> armed from step 0
+        flat_hp = SimpleNamespace(kl_weight_start=1.0, kl_weight_end=1.0,
+                                  kl_annealing_steps=700)
+        assert early_stop_start_step(TrainerHparams(), flat_hp) == 0
+
+    def test_early_stopping_disarmed_until_start_step(self, tiny_dm,
+                                                      tmp_path):
+        """With a frozen model (lr=0) the monitored metric never improves,
+        so patience=1 fires at the SECOND armed validation — step 2 when
+        armed from the start, step es_start+1 when disarmed until then."""
+        def run(start_step):
+            hp = tiny_hparams(lr=0.0)
+            model = LSTMLanguageModel(hp)
+            thp = TrainerHparams(accumulate_grad_batches=1, max_steps=20,
+                                 val_check_interval=1e-9,  # every step
+                                 early_stopping_patience=1,
+                                 early_stopping_start_step=start_step,
+                                 checkpoint_every_n_steps=10 ** 9,
+                                 sample_every_n_steps=10 ** 9)
+            trainer = Trainer(model, hp, ARObjective(), tiny_dm, thp,
+                              experiment="lstm-lm", name=f"es{start_step}",
+                              log_root=tmp_path, enable_logging=False)
+            outcome = trainer.fit(max_epochs=50)
+            # guard the premise: lr=0 keeps the metric exactly constant
+            vals = [h["val_nll"] for h in outcome.metrics_history]
+            assert len(set(vals)) == 1
+            return outcome
+
+        armed = run(0)
+        assert armed.stopped_reason == "early_stopping"
+        assert armed.step == 2
+        deferred = run(5)
+        assert deferred.stopped_reason == "early_stopping"
+        assert deferred.step == 6
