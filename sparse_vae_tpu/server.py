@@ -118,6 +118,10 @@ class ServeEngine:
         self._assigned: List[Optional[_Request]] = [None] * batch_size
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._shutdown = threading.Event()
+        # Set once the decode slice is compiled (the warmup slice in _run):
+        # /healthz reports 503 until then so load balancers and benchmark
+        # clients do not time the (possibly minutes-long) first compile.
+        self._ready = threading.Event()
         self._fatal: Optional[BaseException] = None
         self._lock = threading.Lock()  # orders submit() vs shutdown/fail
         self.stats = {"served": 0, "tokens_generated": 0, "slices": 0,
@@ -211,6 +215,7 @@ class ServeEngine:
         s["queue_depth"] = self._queue.qsize()
         s["live_rows"] = int(np.sum(self._live_host))
         s["batch_size"] = self.batch_size
+        s["ready"] = self._ready.is_set()
         s["uptime_s"] = round(time.time() - s.pop("started_at"), 1)
         if self._fatal is not None:
             s["fatal"] = repr(self._fatal)
@@ -298,6 +303,21 @@ class ServeEngine:
                      if self._use_overrides else None)
         assigned = self._assigned
         dirty = True  # host mirrors differ from device state
+
+        # Warmup: compile the decode slice before accepting traffic. Rows
+        # are explicitly deadened first (init_row_decode_state defaults to
+        # live) so the slice is a no-op on the state — but the
+        # trace+compile (minutes over a cold cache) happens HERE, not on
+        # the first client request.
+        state = state._replace(live=jnp.zeros(b, bool),
+                               row_max=jnp.asarray(row_max_h),
+                               prompt_len=jnp.asarray(prompt_len_h))
+        state, caches = self._slice_fn(self.params, state, caches, z,
+                                       overrides)
+        tokens_h = np.array(state.tokens)
+        index_h = np.array(state.index)
+        self._live_host = np.array(state.live)
+        self._ready.set()
 
         while not self._shutdown.is_set():
             # Admit: fill every dead row from the queue; block (briefly)
@@ -426,6 +446,8 @@ def make_handler(engine: ServeEngine,
                 snap = engine.snapshot()
                 if "fatal" in snap:
                     self._json(503, {"status": "error", **snap})
+                elif not snap.get("ready", True):
+                    self._json(503, {"status": "warming", **snap})
                 else:
                     self._json(200, {"status": "ok", **snap})
             else:
@@ -540,6 +562,13 @@ def make_handler(engine: ServeEngine,
     return Handler
 
 
+class _Server(ThreadingHTTPServer):
+    # The stdlib default listen backlog (5) resets connections under
+    # concurrent clients (measured: 69/512 ConnectionResetError at
+    # concurrency 64 on the round-4 serving benchmark).
+    request_queue_size = 128
+
+
 def run_server(engine: ServeEngine, host: str = "127.0.0.1",
                port: int = 8600, decode_fn=None,
                request_timeout: float = 600.0,
@@ -547,4 +576,4 @@ def run_server(engine: ServeEngine, host: str = "127.0.0.1",
     """Start (and return) the HTTP server; call .serve_forever() to block,
     or drive it from a thread (tests)."""
     handler = make_handler(engine, decode_fn, request_timeout, encode_fn)
-    return ThreadingHTTPServer((host, port), handler)
+    return _Server((host, port), handler)
