@@ -20,6 +20,15 @@ top-k router, GShard/Switch style, designed TPU-first:
   dispatch buffer crosses shards with one lax.all_to_all each way — the
   classic GShard exchange, riding ICI. Everything else about the layer is
   unchanged; ep_size=1 is the single-device path exactly.
+- Tensor parallelism (parallel/tp.py): on a (data, model) mesh every
+  expert's HIDDEN dim is sharded over 'model' — the dense-FFN Megatron
+  pattern applied per expert (w_in column-parallel, w_out row-parallel,
+  one psum closes the partial expert outputs). The router and the
+  dispatch/combine arithmetic stay replicated over 'model' (every shard
+  sees the same activations, so routing decisions are identical by
+  construction) and only the [E, C, D] buffer crosses the f/g collectives.
+  ep_size and tp_size compose with 'data' individually, not with each
+  other (a 3-axis data x expert x model step is unimplemented).
 
 Load-balance statistics are SOWN (collection "losses") as per-expert SUMS
 rather than composed into a scalar here, so the auxiliary losses ride the
@@ -73,6 +82,12 @@ class MoEFFN(nn.Module):
     # dispatch buffer crosses shards with all_to_all.
     ep_size: int = 1
     ep_axis: str = EXPERT_AXIS
+    # Tensor parallelism: set (via the tp_localize'd model twin) only inside
+    # shard_map on a mesh with a 'model' axis. Every expert's hidden dim is
+    # then declared LOCAL ([.., d_hidden/tp, ..]) and the f/g collectives
+    # close the per-expert partial matmuls (module docstring).
+    tp_size: int = 1
+    tp_axis: str = "model"
 
     def setup(self):
         if self.top_k > self.num_experts:
@@ -81,32 +96,54 @@ class MoEFFN(nn.Module):
             raise ValueError(
                 f"num_experts={self.num_experts} not divisible by "
                 f"ep_size={self.ep_size}")
+        if self.d_hidden % self.tp_size:
+            raise ValueError(
+                f"d_hidden={self.d_hidden} not divisible by "
+                f"tp_size={self.tp_size}")
+        if self.ep_size > 1 and self.tp_size > 1:
+            raise NotImplementedError(
+                "expert x tensor parallelism is not composed: shard experts "
+                "over 'expert' OR their hidden dim over 'model', not both "
+                "(parallel/ep.py, parallel/tp.py scope notes)")
         e_loc = self.num_experts // self.ep_size
+        h_loc = self.d_hidden // self.tp_size
         init = dense_kernel_init(0.02)
         # Router in fp32: small, and its softmax statistics feed both the
-        # dispatch decisions and the balance losses.
+        # dispatch decisions and the balance losses. Stays replicated under
+        # TP — every 'model' shard must make identical routing decisions.
         self.router = nn.Dense(self.num_experts, use_bias=False,
                                kernel_init=init, dtype=jnp.float32)
         self.w_in = self.param("w_in", init,
-                               (e_loc, self.d_model, self.d_hidden))
+                               (e_loc, self.d_model, h_loc))
         self.b_in = self.param("b_in", nn.initializers.zeros,
-                               (e_loc, self.d_hidden))
+                               (e_loc, h_loc))
         self.w_out = self.param("w_out", init,
-                                (e_loc, self.d_hidden, self.d_model))
+                                (e_loc, h_loc, self.d_model))
 
     def _experts(self, buf):
         """[E, C, D] capacity buffer -> expert FFN outputs, crossing the
-        'expert' mesh axis when the experts are sharded."""
+        'expert' mesh axis when the experts are sharded and the 'model'
+        axis when their hidden dim is."""
         if self.ep_size > 1:
             # Exchange: every shard keeps rows for its LOCAL experts from
             # all peers -> [E/ep, ep*C, D].
             buf = jax.lax.all_to_all(buf, self.ep_axis, split_axis=0,
                                      concat_axis=1, tiled=True)
+        if self.tp_size > 1:
+            # g: the replicated buffer feeds column-parallel w_in slices;
+            # each shard's weight slice contributes a partial cotangent.
+            from ..parallel.tp import replicate_gradient
+            buf = replicate_gradient(buf, self.tp_axis)
         w_in = self.w_in.astype(self.dtype)
         w_out = self.w_out.astype(self.dtype)
         h = jnp.einsum("ecd,edh->ech", buf, w_in)
         h = nn.gelu(h + self.b_in.astype(self.dtype)[:, None, :])
         out = jnp.einsum("ech,ehd->ecd", h, w_out)
+        if self.tp_size > 1:
+            # f: close the row-parallel partial sums (w_out is bias-free
+            # per expert, so one psum is exact).
+            from ..parallel.tp import reduce_activations
+            out = reduce_activations(out, self.tp_axis)
         if self.ep_size > 1:
             out = jax.lax.all_to_all(out, self.ep_axis, split_axis=1,
                                      concat_axis=0, tiled=True)

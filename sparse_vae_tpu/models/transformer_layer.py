@@ -65,18 +65,18 @@ class TransformerLayer(nn.Module):
             sp_axis=self.sp_axis)
         init = dense_kernel_init(0.02)
         if self.is_moe:
-            if self.tp_size > 1:
-                raise ValueError(
-                    "MoE + tensor parallelism is not supported: shard "
-                    "experts over an 'expert' axis (parallel/ep.py) "
-                    "instead of splitting each expert over 'model'")
+            # MoE composes with TP by sharding every expert's hidden dim
+            # over 'model' (the dense-FFN Megatron pattern per expert) —
+            # MoEFFN owns the f/g collectives. MoE x EP x TP (a 3-axis
+            # step) is guarded inside MoEFFN.setup.
             from .moe import MoEFFN
             self.moe = MoEFFN(d_model=self.d_model,
                               d_hidden=self.d_model * 4,
                               num_experts=self.num_experts,
                               top_k=self.moe_top_k,
                               capacity_factor=self.moe_capacity_factor,
-                              dtype=self.dtype, ep_size=self.ep_size)
+                              dtype=self.dtype, ep_size=self.ep_size,
+                              tp_size=self.tp_size, tp_axis=self.tp_axis)
         else:
             self.ffn_in = nn.Dense(self.d_model * 4 // self.tp_size,
                                    kernel_init=init, dtype=self.dtype)

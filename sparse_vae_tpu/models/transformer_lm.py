@@ -80,10 +80,6 @@ def decoder_layer_module(hp, dtype, cls=TransformerLayer, name=None):
     shared with the pipeline stage function (parallel/pp.py) so the layer
     configuration can never drift between the production and pipelined
     decoders. `cls` admits the nn.remat-wrapped class."""
-    if getattr(hp, "num_experts", 0) > 1 and hp.tp_size > 1:
-        raise ValueError(
-            "MoE + tensor parallelism is not supported: shard experts "
-            "over an 'expert' axis (parallel/ep.py) instead")
     return cls(d_model=hp.d_model, num_heads=hp.num_heads, causal=True,
                sparse_self_attention=hp.sparse_self_attention,
                window_size=hp.attn_window_size,

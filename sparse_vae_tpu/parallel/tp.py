@@ -26,6 +26,10 @@ Weight layout (matching tp_param_specs):
 - attention output projection, ffn_out: row-parallel — kernel
   P('model', None); biases stay replicated, added once (Attention corrects
   the m-fold bias after its psum; ffn_out is bias-free).
+- MoE expert stacks (models/moe.py): the per-expert hidden dim is sharded —
+  w_in P(None, None, 'model') / b_in P(None, 'model') column-parallel,
+  w_out P(None, 'model', None) row-parallel; the router is replicated (its
+  decisions must be identical on every shard).
 - everything else (embeddings, LayerNorms, head, VAE-specific params):
   replicated.
 """
@@ -200,6 +204,16 @@ def _spec_for_path(path, value, tp_size: int, shard_vocab: bool):
             return P(None, MODEL_AXIS) if leaf == "kernel" else P(MODEL_AXIS)
         if parent in _ROW_PARALLEL and leaf == "kernel":
             return P(MODEL_AXIS, None)
+        if parent == "moe":
+            # Expert stacks (models/moe.py): the hidden dim is sharded over
+            # 'model' — w_in [E, D, H/m] column-parallel, w_out [E, H/m, D]
+            # row-parallel, per expert. The router stays replicated.
+            if leaf == "w_in":
+                return P(None, None, MODEL_AXIS)
+            if leaf == "b_in":
+                return P(None, MODEL_AXIS)
+            if leaf == "w_out":
+                return P(None, MODEL_AXIS, None)
         if shard_vocab:
             # The tied embedding/head: vocab-dim sharding (Megatron
             # vocab-parallel). The cross-attention context_embedding is a
