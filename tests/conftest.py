@@ -25,6 +25,24 @@ if not os.path.exists(os.path.join(_native_dir, "libsvtnative.so")):
     subprocess.run(["make", "-C", _native_dir], check=True)
 
 
+# Fast/slow split (pytest.ini makes `-m "not slow"` the default profile):
+# tests listed in tests/slow_manifest.txt — measured >=8s in a full-suite
+# duration run (tools/gen_slow_manifest.py) — get the `slow` marker here.
+# Parametrized variants inherit it (the manifest stores base nodeids).
+_slow_manifest = os.path.join(os.path.dirname(__file__),
+                              "slow_manifest.txt")
+with open(_slow_manifest) as _fh:
+    _SLOW = {line.strip() for line in _fh
+             if line.strip() and not line.startswith("#")}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = item.nodeid.split("[")[0]
+        if base in _SLOW:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture(scope="session")
 def cpu_devices():
     devices = jax.devices("cpu")
