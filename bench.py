@@ -32,6 +32,174 @@ import time
 ATTEMPTS = 3
 BACKOFF_S = 100  # axon worker recovers in ~1-2 min
 
+# The single physical chip is EXCLUSIVE: a second JAX client hangs at
+# backend init (measured: jax.devices() blocks >240 s) while any process
+# holds it. Long measurement/training queues on this machine park their
+# top-level shell PID in these files; the supervisor below preempts them
+# for the duration of a bench run so the driver's round-end invocation
+# never records value=0 against a busy chip.
+DEFAULT_QUEUE_PIDFILE_GLOB = "/tmp/r4_*queue*.pid"
+PREEMPT_GRACE_S = 240  # give a holder this long to finish on its own
+
+
+def _pid_alive(pid):
+    try:
+        os.kill(pid, 0)
+        return True
+    except (OSError, ValueError):
+        return False
+
+
+def _proc_children():
+    """ppid -> [pid] map from /proc (Linux only; empty map elsewhere)."""
+    children = {}
+    try:
+        pids = [int(p) for p in os.listdir("/proc") if p.isdigit()]
+    except FileNotFoundError:
+        return children
+    for pid in pids:
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                # field 4 is ppid; comm (field 2) may contain spaces but is
+                # parenthesized — split after the closing paren.
+                ppid = int(fh.read().rsplit(")", 1)[1].split()[1])
+        except (OSError, IndexError, ValueError):
+            continue
+        children.setdefault(ppid, []).append(pid)
+    return children
+
+
+def _descendants(root, children):
+    out, stack = [], [root]
+    while stack:
+        for child in children.get(stack.pop(), []):
+            out.append(child)
+            stack.append(child)
+    return out
+
+
+def _comm(pid):
+    try:
+        with open(f"/proc/{pid}/comm") as fh:
+            return fh.read().strip()
+    except OSError:
+        return ""
+
+
+def _ancestors(pid):
+    out = set()
+    while pid > 1:
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                pid = int(fh.read().rsplit(")", 1)[1].split()[1])
+        except (OSError, IndexError, ValueError):
+            break
+        out.add(pid)
+    return out
+
+
+def _queue_roots():
+    import glob
+    pattern = os.environ.get("BENCH_QUEUE_PIDFILE_GLOB",
+                             DEFAULT_QUEUE_PIDFILE_GLOB)
+    # A bench running FROM INSIDE a queue (gen_bench.py in a measurement
+    # queue reuses supervise()) must never preempt its own chain: skip any
+    # root that is this process or one of its ancestors.
+    own = _ancestors(os.getpid()) | {os.getpid()}
+    roots = []
+    for path in sorted(glob.glob(pattern)):
+        try:
+            with open(path) as fh:
+                pid = int(fh.read().split()[0])
+        except (OSError, IndexError, ValueError):
+            continue
+        if _pid_alive(pid) and pid not in own:
+            roots.append(pid)
+    return roots
+
+
+def preempt_chip_queues(grace_s=PREEMPT_GRACE_S, poll_s=20, settle_s=75,
+                        log=None):
+    """If known queue processes (QUEUE_PIDFILE_GLOB) hold the chip, wait up
+    to grace_s for them to free it, then pause the queues and terminate the
+    in-flight chip job: SIGSTOP each queue root and every non-python
+    descendant (freezing the chain so it cannot launch the next job), then
+    SIGTERM/SIGKILL python descendants (training jobs checkpoint
+    periodically and re-run from_checkpoint; losing tail steps beats a
+    zeroed bench row). Only PIDs reached from the explicit pidfiles are
+    touched — never name/pattern matching. Returns the SIGSTOPped pids for
+    resume_chip_queues()."""
+    log = log or (lambda m: print(m, file=sys.stderr))
+    deadline = time.time() + grace_s
+    while True:
+        roots = _queue_roots()
+        if not roots:
+            return []
+        children = _proc_children()
+        pythons = [p for r in roots for p in _descendants(r, children)
+                   if "python" in _comm(p)]
+        if not pythons:
+            return []  # queues alive but idle/waiting: chip is free
+        if time.time() >= deadline:
+            break
+        log(f"# bench: chip held by queue jobs {pythons}; waiting "
+            f"{int(deadline - time.time())}s more for it to free up")
+        time.sleep(poll_s)
+
+    stopped = []
+    children = _proc_children()
+    for root in roots:
+        try:
+            os.kill(root, 19)  # SIGSTOP — the chain cannot advance now
+            stopped.append(root)
+        except OSError:
+            continue
+    doomed = []
+    for root in stopped[:]:
+        for pid in _descendants(root, children):
+            if pid == os.getpid():
+                continue
+            if "python" in _comm(pid):
+                doomed.append(pid)
+            else:
+                try:
+                    os.kill(pid, 19)
+                    stopped.append(pid)
+                except OSError:
+                    pass
+    log(f"# bench: paused queue pids {stopped}, terminating chip jobs "
+        f"{doomed} (they resume from their last checkpoint)")
+    for pid in doomed:
+        try:
+            os.kill(pid, 15)
+        except OSError:
+            pass
+    deadline = time.time() + 90
+    while time.time() < deadline and any(_pid_alive(p) for p in doomed):
+        time.sleep(2)
+    for pid in doomed:
+        if _pid_alive(pid):
+            try:
+                os.kill(pid, 9)
+            except OSError:
+                pass
+    if doomed:
+        # The axon worker needs ~1-2 min after a client dies before a new
+        # client can attach; burn most of it here so attempt 1 succeeds.
+        time.sleep(settle_s)
+    return stopped
+
+
+def resume_chip_queues(stopped, log=None):
+    log = log or (lambda m: print(m, file=sys.stderr))
+    for pid in reversed(stopped):
+        try:
+            os.kill(pid, 18)  # SIGCONT
+        except OSError:
+            pass
+    if stopped:
+        log(f"# bench: resumed queue pids {stopped}")
+
 
 def supervise(argv, script=None, backoff_s=BACKOFF_S, attempts=ATTEMPTS,
               timeout_first=1800, timeout_rest=900, error_payload=None,
@@ -40,8 +208,21 @@ def supervise(argv, script=None, backoff_s=BACKOFF_S, attempts=ATTEMPTS,
     crashes and bounding each attempt (a dead tunnel/worker hangs the JAX
     client at backend init without raising). Prints the inner run's JSON
     line (or the error payload) and always exits 0 so the driver records a
-    parseable result. gen_bench.py reuses this with attempts=1."""
+    parseable result. gen_bench.py reuses this with attempts=1. If a known
+    measurement/training queue holds the chip, it is preempted for the
+    duration (preempt_chip_queues) and resumed afterwards."""
     script = script or os.path.abspath(__file__)
+    stopped = preempt_chip_queues()
+    try:
+        return _supervise_attempts(argv, script, backoff_s, attempts,
+                                   timeout_first, timeout_rest,
+                                   error_payload, accept_nonzero)
+    finally:
+        resume_chip_queues(stopped)
+
+
+def _supervise_attempts(argv, script, backoff_s, attempts, timeout_first,
+                        timeout_rest, error_payload, accept_nonzero):
     last_err = "unknown"
     for attempt in range(1, attempts + 1):
         try:

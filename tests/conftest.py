@@ -25,6 +25,12 @@ if not os.path.exists(os.path.join(_native_dir, "libsvtnative.so")):
     subprocess.run(["make", "-C", _native_dir], check=True)
 
 
+# bench.py's chip-preemption (supervise -> preempt_chip_queues) must never
+# touch the REAL measurement queues from inside the test suite: point the
+# pidfile glob at a path no queue uses. Preemption tests monkeypatch it.
+os.environ["BENCH_QUEUE_PIDFILE_GLOB"] = "/tmp/pytest-no-such-queue-*.pid"
+
+
 # Fast/slow split (pytest.ini makes `-m "not slow"` the default profile):
 # tests listed in tests/slow_manifest.txt — measured >=8s in a full-suite
 # duration run (tools/gen_slow_manifest.py) — get the `slow` marker here.

@@ -55,3 +55,75 @@ class TestBenchSupervisor:
         assert rc == 0
         parsed = json.loads(out[-1])
         assert "error" in parsed and parsed["value"] == 0
+
+
+def _proc_state(pid):
+    with open(f"/proc/{pid}/stat") as fh:
+        return fh.read().rsplit(")", 1)[1].split()[0]
+
+
+class TestChipPreemption:
+    """The chip is exclusive (a second JAX client hangs at backend init), so
+    the supervisor preempts the known measurement/training queues — pause
+    the queue chain, terminate the in-flight chip job, resume afterwards —
+    touching only PIDs reached from the explicit pidfiles."""
+
+    def _fake_queue(self, tmp_path, monkeypatch, body):
+        import subprocess
+        monkeypatch.setenv("BENCH_QUEUE_PIDFILE_GLOB",
+                           str(tmp_path / "r4_*queue*.pid"))
+        root = subprocess.Popen(["sh", "-c", body])
+        (tmp_path / "r4_fake_queue.pid").write_text(f"{root.pid}\n")
+        return root
+
+    def test_preempt_pauses_root_kills_job_then_resumes(
+            self, tmp_path, monkeypatch):
+        bench = load_bench()
+        marker = tmp_path / "advanced"
+        # A queue shape like the real ones: an in-flight python chip job,
+        # then a next stage that must NOT start while paused.
+        root = self._fake_queue(
+            tmp_path, monkeypatch,
+            f"python -c 'import time; time.sleep(120)'; touch {marker}; "
+            "sleep 120")
+        try:
+            import time
+            time.sleep(1.0)  # let the python job spawn
+            stopped = bench.preempt_chip_queues(grace_s=2, poll_s=0.5,
+                                                settle_s=0, log=lambda m: None)
+            assert root.pid in stopped
+            assert _proc_state(root.pid) == "T"  # chain frozen
+            time.sleep(1.0)
+            assert not marker.exists()  # did not advance past the dead job
+            bench.resume_chip_queues(stopped, log=lambda m: None)
+            deadline = time.time() + 10
+            while not marker.exists() and time.time() < deadline:
+                time.sleep(0.2)
+            assert marker.exists()  # resumed and moved to the next stage
+        finally:
+            root.kill()
+            root.wait()
+
+    def test_noop_when_queue_idle(self, tmp_path, monkeypatch):
+        bench = load_bench()
+        root = self._fake_queue(tmp_path, monkeypatch, "sleep 60")
+        try:
+            import time
+            time.sleep(0.3)
+            assert bench.preempt_chip_queues(grace_s=30, log=lambda m: None) \
+                == []  # no python descendant: chip is free, nothing paused
+            assert _proc_state(root.pid) in ("S", "R")
+        finally:
+            root.kill()
+            root.wait()
+
+    def test_own_chain_is_never_preempted(self, tmp_path, monkeypatch):
+        bench = load_bench()
+        import os
+        monkeypatch.setenv("BENCH_QUEUE_PIDFILE_GLOB",
+                           str(tmp_path / "r4_*queue*.pid"))
+        # Pretend this very process chain is the queue (gen_bench.py inside
+        # a measurement queue reuses supervise()).
+        (tmp_path / "r4_self_queue.pid").write_text(f"{os.getpid()}\n")
+        assert bench._queue_roots() == []
+        assert bench.preempt_chip_queues(grace_s=1, log=lambda m: None) == []
