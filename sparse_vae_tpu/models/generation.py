@@ -234,10 +234,23 @@ def init_row_decode_state(batch_size: int, max_length: int, start_token: int,
                           live=jnp.ones(batch_size, bool), rng=rng)
 
 
+def _row_gather(buf, idx):
+    """buf[i, idx[i]] for each row, as a one-hot masked sum (parallel VPU
+    sweep over [B, L]) instead of a batch-varying gather — same rationale
+    as ops.attention.row_cache_write."""
+    hit = jnp.arange(buf.shape[1])[None, :] == idx[:, None]
+    return jnp.sum(jnp.where(hit, buf, 0), axis=1)
+
+
+def _row_write(buf, idx, val):
+    """buf with val[i] written at buf[i, idx[i]] (one-hot compare+where)."""
+    hit = jnp.arange(buf.shape[1])[None, :] == idx[:, None]
+    return jnp.where(hit, val[:, None], buf)
+
+
 def prev_tokens_rowwise(state: RowDecodeState) -> jax.Array:
     """[B] token each row generated last (at its own index - 1)."""
-    return jnp.take_along_axis(state.tokens, (state.index - 1)[:, None],
-                               axis=1)[:, 0]
+    return _row_gather(state.tokens, state.index - 1)
 
 
 def apply_repetition_penalty_rowwise(logits, tokens, index, penalty: float,
@@ -288,17 +301,15 @@ def process_logits_rowwise(logits, state: RowDecodeState,
         token = _select_token(logits, sample_rng, params, fused, interpret)
     token = jnp.where(state.live, token, 0)
 
-    b = state.tokens.shape[0]
     max_len = state.tokens.shape[-1]
     if state.prompt_len is not None:
         # Prefill: while a row's write position is inside its prompt, the
         # token comes from the pre-written buffer, not the sampler — and a
         # forced token never ends the row (prompts may contain [SEP]).
         forced = state.live & (state.index < state.prompt_len)
-        buf = jnp.take_along_axis(state.tokens, state.index[:, None],
-                                  axis=1)[:, 0]
+        buf = _row_gather(state.tokens, state.index)
         token = jnp.where(forced, buf, token)
-    tokens = state.tokens.at[jnp.arange(b), state.index].set(token)
+    tokens = _row_write(state.tokens, state.index, token)
     index = state.index + state.live.astype(jnp.int32)
     # max_len - 1: the scalar loop (should_continue) never writes the final
     # buffer position either — keeps row-wise documents identical to it.

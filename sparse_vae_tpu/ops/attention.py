@@ -21,6 +21,29 @@ from .rotary import apply_rotary
 
 NEG_INF = -1e9  # bf16-safe large negative (the reference used -1e7 fp16)
 
+# Row-wise decode cache-write strategy. 'select' (default) writes each row's
+# new K/V by a one-hot compare+where over the cache's position axis — a fully
+# parallel VPU rewrite of the (small, O(window)) cache that XLA fuses; on TPU
+# this beats 'scatter' (`.at[rows, :, idx].set`), which lowers to a real XLA
+# scatter with batch-varying indices and serializes (the measured 4.3x
+# per-row step-cost gap vs lockstep decode, BASELINE.md "Continuous batching
+# loses the offline mass-sampling workload"). 'scatter' is kept for the
+# on-chip A/B (SVT_ROW_WRITE=scatter).
+import os as _os
+_ROW_WRITE = _os.environ.get("SVT_ROW_WRITE", "select")
+
+
+def row_cache_write(buf, idx, val):
+    """Write val [B, H, Dh] into buf [B, H, L, Dh] at per-row position
+    idx [B] along L. Out-of-range idx rows are dropped (the CLS store
+    routes non-CLS positions to idx == L)."""
+    if _ROW_WRITE == "scatter":
+        rows = jnp.arange(buf.shape[0])
+        return buf.at[rows, :, idx].set(val.astype(buf.dtype), mode="drop")
+    hit = jnp.arange(buf.shape[2])[None, :] == idx[:, None]       # [B, L]
+    return jnp.where(hit[:, None, :, None], val.astype(buf.dtype)[:, :, None],
+                     buf)
+
 # Test hook: force the sequence-parallel Pallas dispatch (in interpret mode)
 # off-TPU, so the kernel path can run inside the full sharded train step on
 # the virtual CPU mesh (tests/test_sp.py).
@@ -588,32 +611,27 @@ class Attention(nn.Module):
         the absolute position each row is writing (continuous batching —
         rows decode different documents at different offsets; see
         generation.RowDecodeState / serving.py). Semantics per row equal
-        `decode` at that row's index (tested); cache writes are scatters
-        (only [B, H, Dh] elements touched per step), so the cost matches
-        the scalar path."""
+        `decode` at that row's index (tested); cache writes are one-hot
+        compare+where rewrites of the O(window) cache (row_cache_write) —
+        parallel VPU work XLA fuses, instead of the serializing XLA
+        scatter a batch-varying `.at[rows, :, idx]` lowers to."""
         q = apply_rotary(split_heads(self.q_linear(x_t), self.local_heads),
                          self.rotary_base, offset=index)
         k_t = apply_rotary(split_heads(self.k_linear(x_t), self.local_heads),
                            self.rotary_base, offset=index)
         v_t = split_heads(self.v_linear(x_t), self.local_heads)
 
-        rows = jnp.arange(x_t.shape[0])
         if "k_ring" in cache:
             bs, w = self.block_size, self.window_size
             ring_len = w * bs
-            dt = cache["k_ring"].dtype
             ring_idx = index % ring_len
-            k_ring = cache["k_ring"].at[rows, :, ring_idx].set(
-                k_t[:, :, 0].astype(dt))
-            v_ring = cache["v_ring"].at[rows, :, ring_idx].set(
-                v_t[:, :, 0].astype(dt))
+            k_ring = row_cache_write(cache["k_ring"], ring_idx, k_t[:, :, 0])
+            v_ring = row_cache_write(cache["v_ring"], ring_idx, v_t[:, :, 0])
             # Positions < block_size also enter the CLS store; others are
             # routed out of bounds and dropped.
             cls_pos = jnp.where(index < bs, index, bs)
-            k_cls = cache["k_cls"].at[rows, :, cls_pos].set(
-                k_t[:, :, 0].astype(dt), mode="drop")
-            v_cls = cache["v_cls"].at[rows, :, cls_pos].set(
-                v_t[:, :, 0].astype(dt), mode="drop")
+            k_cls = row_cache_write(cache["k_cls"], cls_pos, k_t[:, :, 0])
+            v_cls = row_cache_write(cache["v_cls"], cls_pos, v_t[:, :, 0])
 
             # Per-row ring validity: same slot->block math as _decode_ring,
             # vectorized over rows. Correct across a row RESET (refill):
@@ -636,9 +654,8 @@ class Attention(nn.Module):
                      "k_cls": k_cls, "v_cls": v_cls}
             return self._finalize(out), cache
 
-        dt = cache["k"].dtype
-        k = cache["k"].at[rows, :, index].set(k_t[:, :, 0].astype(dt))
-        v = cache["v"].at[rows, :, index].set(v_t[:, :, 0].astype(dt))
+        k = row_cache_write(cache["k"], index, k_t[:, :, 0])
+        v = row_cache_write(cache["v"], index, v_t[:, :, 0])
         positions = jnp.arange(k.shape[2])
         valid = positions[None, :] <= index[:, None]               # [B, K]
         if self.sparse:

@@ -218,3 +218,36 @@ class TestFlashDensePath:
             np.testing.assert_allclose(np.asarray(out)[b, :, real[b]],
                                        np.asarray(ref)[b, :, real[b]],
                                        rtol=2e-4, atol=2e-5)
+
+
+class TestRowCacheWrite:
+    """ops.attention.row_cache_write: the one-hot select rewrite (TPU
+    default) must equal the XLA scatter it replaced, including the CLS
+    store's out-of-range drop semantics."""
+
+    def test_select_equals_scatter_including_drop(self):
+        from sparse_vae_tpu.ops import attention as A
+        rng = jax.random.PRNGKey(3)
+        B, H, L, D = 5, 3, 8, 4
+        buf = jax.random.normal(rng, (B, H, L, D), jnp.float32)
+        val = jax.random.normal(jax.random.fold_in(rng, 1), (B, H, D))
+        # mixed in-range per-row indices plus one out-of-range (drop) row
+        idx = jnp.array([0, 7, 3, L, 5], jnp.int32)
+
+        got = A.row_cache_write(buf, idx, val)
+        rows = jnp.arange(B)
+        want = buf.at[rows, :, idx].set(val, mode="drop")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+        # the dropped row is bitwise untouched
+        np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(buf[3]))
+
+    def test_bf16_cache_cast(self):
+        from sparse_vae_tpu.ops import attention as A
+        B, H, L, D = 2, 2, 4, 4
+        buf = jnp.zeros((B, H, L, D), jnp.bfloat16)
+        val = jnp.full((B, H, D), 1.0078125, jnp.float32)  # exact in bf16
+        out = A.row_cache_write(buf, jnp.array([1, 2]), val)
+        assert out.dtype == jnp.bfloat16
+        assert float(out[0, 0, 1, 0]) == 1.0078125
+        assert float(out[1, 0, 2, 0]) == 1.0078125
+        assert float(out[0, 0, 2, 0]) == 0.0
