@@ -97,6 +97,33 @@ class LSTMLanguageModel(nn.Module):
         h, states = self.decoder(x, states, single_step=True)
         return self.logits_from_hidden(h), states
 
+    def draft_propose(self, state, last_token, rng, k: int,
+                      temperature: float = 1.0, context=None):
+        """Draft k tokens for speculative decoding (models/spec_decode.py).
+
+        Scans k+1 decode steps from `state` (which has consumed everything
+        before `last_token`): step 0 consumes last_token, step i consumes
+        draft i. Returns (drafts [B, k], q_logp [B, k, V] — the EXACT
+        log-distribution each draft was sampled from, needed by the
+        min(1, p/q) accept rule — and the (k+1)-entry state stack whose
+        entry j is the state after consuming last_token and drafts[:j],
+        i.e. the rewind point when j drafts are accepted). The extra
+        (k+1)-th step exists so stack[k] covers the all-accepted case."""
+        def step(carry, rng_i):
+            st, tok = carry
+            logits, st2 = self.decode_step(tok, st, context)
+            logp = jax.nn.log_softmax(
+                logits.astype(jnp.float32) / temperature)
+            nxt = jax.random.categorical(rng_i, logp).astype(jnp.int32)
+            return (st2, nxt), (nxt, logp, st2)
+
+        rngs = jax.random.split(rng, k + 1)
+        _, (toks, logps, states) = jax.lax.scan(
+            step, (state, last_token), rngs)
+        drafts = jnp.transpose(toks[:k])                     # [B, k]
+        q_logp = jnp.transpose(logps[:k], (1, 0, 2))         # [B, k, V]
+        return drafts, q_logp, states
+
     def sample(self, rng, max_length: int, batch_size: int = 1,
                sampling: SamplingParams = SamplingParams(),
                start_token: int = 1, end_token: int = 2,

@@ -167,5 +167,17 @@ class TransformerLayer(nn.Module):
         x = x_t + y
         return self._ffn(x, True, mask=mask), cache
 
+    def decode_chunk(self, x, cache, index, mask=None):
+        """C-token speculative-verification peek (no cache commit): equals
+        C sequential `decode` steps; the caller commits the accepted prefix
+        via commit_chunk. Returns (out [B, C, D], this layer's chunk K/V)."""
+        y = self.attn_layer_norm(x)
+        y, kv = self.attention.decode_chunk(y, cache, index)
+        x = x + y
+        return self._ffn(x, True, mask=mask), kv
+
+    def commit_chunk(self, cache, kv, index, m):
+        return self.attention.commit_chunk(cache, kv, index, m)
+
     def init_cache(self, batch_size: int, max_length: int):
         return self.attention.init_cache(batch_size, max_length)

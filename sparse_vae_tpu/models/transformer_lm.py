@@ -389,6 +389,30 @@ class TransformerLanguageModel(nn.Module):
             new_caches.append(cache)
         return self.project(x[:, 0]), new_caches
 
+    def decode_chunk(self, tokens, caches, index):
+        """C-token speculative-verification peek: logits for every chunk
+        position WITHOUT committing the caches (models/spec_decode.py).
+
+        tokens: [B, C] at absolute positions index..index+C-1 (caches
+        committed through index-1). Returns (logits [B, C, V], kvs) where
+        kvs feeds commit_chunk once the accepted prefix length is known.
+        Row i's logits decide the token at position index+i+1 — identical
+        to C sequential decode_step calls (tested)."""
+        x = self.embed(tokens)
+        mask = tokens != 0
+        kvs = []
+        for layer, cache in zip(self.decoder_layers, caches):
+            x, kv = layer.decode_chunk(x, cache, index, mask=mask)
+            kvs.append(kv)
+        return self.project(x), kvs
+
+    def commit_chunk(self, caches, kvs, index, m):
+        """Commit the first m tokens of a decode_chunk peek (see
+        Attention.commit_chunk — rejected drafts are never written)."""
+        return [layer.commit_chunk(cache, kv, index, m)
+                for layer, cache, kv in zip(self.decoder_layers, caches,
+                                            kvs)]
+
     def decode_step_rowwise(self, token, caches, index):
         """decode_step with PER-ROW positions (index: [B] int32) — the
         continuous-batching step (serving.py)."""
@@ -523,6 +547,26 @@ class TransformerLanguageModel(nn.Module):
             batch_size, length, rng, sampling, start_token, end_token,
             window_tokens, bs, max_iters, draft_ngram)
         return tokens[:, 1:], iters
+
+    def spec_draft_generate(self, rng, length: int, draft_propose,
+                            draft_init_state,
+                            sampling: SamplingParams = SamplingParams(),
+                            start_token: int = 1, end_token: int = 2,
+                            draft_k: int = 8,
+                            max_iters: Optional[int] = None):
+        """Draft-MODEL speculative sampling (models/spec_decode.py): a
+        cheaper trained model proposes draft_k tokens per pass, this model
+        verifies them in one chunked decode against the production KV
+        cache (ring or dense). Distribution-exact w.r.t. this model's
+        modified sampling distribution. Batch 1. Returns
+        (tokens [1, length-1], passes, accepted_draft_tokens)."""
+        from .spec_decode import chunk_speculative_decode
+        caches = self.init_caches(1, length + draft_k + 2)
+        tokens, iters, accepted = chunk_speculative_decode(
+            self.decode_chunk, self.commit_chunk, caches, draft_propose,
+            draft_init_state, length, rng, sampling, start_token,
+            end_token, draft_k, max_iters)
+        return tokens[:, 1:], iters, accepted
 
     def parallel_generate(self, rng, length: int, batch_size: int = 1,
                           sampling: SamplingParams = SamplingParams(),

@@ -164,6 +164,29 @@ class TransformerVAE(TransformerLanguageModel):
             new_caches.append(cache)
         return self.project(x[:, 0]), new_caches
 
+    def decode_chunk_z(self, tokens, caches, index, z):
+        """C-token speculative-verification peek with the z-injected input
+        (see TransformerLanguageModel.decode_chunk): a chunk position at
+        absolute index 0 gets its layer's z projection instead of the token
+        embedding, matching decode_step_z. No cache commit — returns
+        (logits [B, C, V], kvs) for commit_chunk."""
+        x = self.embed(tokens)
+        mask = tokens != 0
+        c = tokens.shape[1]
+        first = (index + jnp.arange(c) == 0)[None, :, None]
+        kvs = []
+        for i, (layer, cache) in enumerate(zip(self.decoder_layers, caches)):
+            zh = self.z_projections[i](z.astype(self.dtype))     # [B, 1, D]
+            x = jnp.where(first, zh, x)
+            x, kv = layer.decode_chunk(x, cache, index, mask=mask)
+            kvs.append(kv)
+        return self.project(x), kvs
+
+    def commit_chunk(self, caches, kvs, index, m):
+        return [layer.commit_chunk(cache, kv, index, m)
+                for layer, cache, kv in zip(self.decoder_layers, caches,
+                                            kvs)]
+
     def decode_step_z_rowwise(self, token, caches, index, z):
         """decode_step_z with PER-ROW positions: rows at position 0 get
         their z projection as the layer input (each row carries its OWN
@@ -316,6 +339,32 @@ class TransformerVAE(TransformerLanguageModel):
             batch_size, length, d_rng, sampling, start_token, end_token,
             window_tokens, bs, max_iters, draft_ngram)
         return tokens[:, 1:], iters
+
+    def spec_draft_generate(self, rng, length: int, draft_propose,
+                            draft_init_state, z=None,
+                            sampling: SamplingParams = SamplingParams(),
+                            start_token: int = 1, end_token: int = 2,
+                            draft_k: int = 8,
+                            max_iters: Optional[int] = None):
+        """Draft-MODEL speculative sampling from z (models/spec_decode.py):
+        a cheaper trained model proposes draft_k tokens per pass
+        (draft_propose/draft_init_state — e.g. LSTMLanguageModel.
+        draft_propose bound to its own checkpoint), this model verifies
+        them in one chunked decode against the production ring cache.
+        Distribution-exact w.r.t. THIS model's modified sampling
+        distribution. Batch 1. Returns (tokens [1, length-1], passes,
+        accepted_draft_tokens)."""
+        from .spec_decode import chunk_speculative_decode
+        z_rng, d_rng = jax.random.split(rng)
+        if z is None:
+            z = jax.random.normal(z_rng, (1, 1, self.hparams.latent_depth))
+        caches = self.init_caches(1, length + draft_k + 2)
+        tokens, iters, accepted = chunk_speculative_decode(
+            lambda t, c, i: self.decode_chunk_z(t, c, i, z),
+            self.commit_chunk, caches, draft_propose, draft_init_state,
+            length, d_rng, sampling, start_token, end_token, draft_k,
+            max_iters)
+        return tokens[:, 1:], iters, accepted
 
     def parallel_generate(self, rng, length: int, batch_size: int = 1,
                           z=None, sampling: SamplingParams = SamplingParams(),

@@ -704,6 +704,129 @@ class Attention(nn.Module):
                               valid[None, None, None, :])
         return self._finalize(out), cache
 
+    def decode_chunk(self, x, cache, index):
+        """C-token attention against the cache WITHOUT committing — the
+        speculative-verification peek (models/spec_decode.py).
+
+        x: [B, C, D] chunk occupying absolute positions index..index+C-1
+        (scalar index; the cache has been committed through index-1).
+        Query i attends the committed cache (positions <= index-1, window-
+        masked for sparse models) plus chunk positions j <= i; the result
+        equals C sequential `decode` calls exactly (tested), but the cache
+        is left untouched: whether the chunk's tokens become real is only
+        known after verification, so the caller commits the accepted prefix
+        afterwards via `commit_chunk`. Returns (out [B, C, D], (k_c, v_c)).
+        """
+        c = x.shape[1]
+        q = apply_rotary(split_heads(self.q_linear(x), self.local_heads),
+                         self.rotary_base, offset=index)
+        k_c = apply_rotary(split_heads(self.k_linear(x), self.local_heads),
+                           self.rotary_base, offset=index)
+        v_c = split_heads(self.v_linear(x), self.local_heads)
+        ci = jnp.arange(c)
+        intra = ci[:, None] >= ci[None, :]                   # [C, C] causal
+
+        if "k_ring" in cache:
+            bs, w = self.block_size, self.window_size
+            ring_len = w * bs
+            # The chunk may not reach past the CLS store's lifetime: a
+            # query with qb >= w while block 0 is still being written
+            # (index < bs) would need the half-filled CLS store.
+            assert c <= (w - 1) * bs + 1, (c, w, bs)
+            qb = (index + ci) // bs                           # [C]
+            # Ring slot contents as of the COMMITTED state (positions
+            # <= index-1): same slot->block math as _decode_ring, anchored
+            # at the last written block instead of the query's.
+            qb_old = (index - 1) // bs
+            j = jnp.arange(ring_len)
+            slot, offs = j // bs, j % bs
+            b_old = qb_old - ((qb_old % w - slot) % w)
+            pos_old = b_old * bs + offs
+            written = (pos_old <= index - 1) & (b_old >= 0)
+            ring_valid = written[None, :] & (b_old[None, :]
+                                             > (qb[:, None] - w))
+            cls_valid = jnp.broadcast_to((qb >= w)[:, None], (c, bs))
+            # Intra-chunk pairs are always within the window: the C bound
+            # keeps qb_i - qb_j <= (C-1)/bs < w.
+            valid = jnp.concatenate([cls_valid, ring_valid, intra], axis=1)
+            dt = cache["k_ring"].dtype
+            k_all = jnp.concatenate(
+                [cache["k_cls"], cache["k_ring"], k_c.astype(dt)], axis=2)
+            v_all = jnp.concatenate(
+                [cache["v_cls"], cache["v_ring"], v_c.astype(dt)], axis=2)
+            out = dense_attention(q, k_all, v_all, valid[None, None])
+            return self._finalize(out), (k_c, v_c)
+
+        positions = jnp.arange(cache["k"].shape[2])
+        old_valid = jnp.broadcast_to((positions <= index - 1)[None, :],
+                                     (c, positions.shape[0]))
+        if self.sparse:
+            qb = (index + ci) // self.block_size
+            kb = positions // self.block_size
+            old_valid = old_valid & ((kb[None, :] > (qb[:, None]
+                                                     - self.window_size))
+                                     | (kb[None, :] == 0))
+        valid = jnp.concatenate([old_valid, intra], axis=1)
+        dt = cache["k"].dtype
+        k_all = jnp.concatenate([cache["k"], k_c.astype(dt)], axis=2)
+        v_all = jnp.concatenate([cache["v"], v_c.astype(dt)], axis=2)
+        out = dense_attention(q, k_all, v_all, valid[None, None])
+        return self._finalize(out), (k_c, v_c)
+
+    def commit_chunk(self, cache, kv, index, m):
+        """Write the first m tokens of a decode_chunk peek into the cache.
+
+        m is a traced scalar (0 <= m <= C): the verified-accepted prefix
+        length. Positions index..index+m-1 become committed; the rejected
+        tail is never written, so the cache invariant (contents = exactly
+        the final tokens) is preserved — speculative rewind is a no-op.
+        """
+        k_c, v_c = kv
+        c = k_c.shape[2]
+        if "k_ring" in cache:
+            bs, w = self.block_size, self.window_size
+            ring_len = w * bs
+            assert ring_len >= c, (ring_len, c)
+            s = jnp.arange(ring_len)
+            i_s = (s - index) % ring_len                  # chunk idx per slot
+            valid = i_s < jnp.minimum(m, c)
+            idx = jnp.clip(i_s, 0, c - 1)
+
+            def wr(buf, new):
+                g = jnp.take(new.astype(buf.dtype), idx, axis=2)
+                return jnp.where(valid[None, None, :, None], g, buf)
+
+            # CLS store: absolute positions 0..bs-1 (only touched when the
+            # chunk overlaps block 0).
+            p = jnp.arange(bs)
+            i_p = p - index
+            cvalid = (i_p >= 0) & (i_p < jnp.minimum(m, c))
+            cidx = jnp.clip(i_p, 0, c - 1)
+
+            def wr_cls(buf, new):
+                g = jnp.take(new.astype(buf.dtype), cidx, axis=2)
+                return jnp.where(cvalid[None, None, :, None], g, buf)
+
+            return {"k_ring": wr(cache["k_ring"], k_c),
+                    "v_ring": wr(cache["v_ring"], v_c),
+                    "k_cls": wr_cls(cache["k_cls"], k_c),
+                    "v_cls": wr_cls(cache["v_cls"], v_c)}
+
+        # Dense cache: read-modify-write a C-token region (the caller sizes
+        # max_length with >= C slack so the slice never clamps).
+        b, h, _, dh = k_c.shape
+        sel = (jnp.arange(c) < m)[None, None, :, None]
+
+        def wr_dense(buf, new):
+            region = jax.lax.dynamic_slice(buf, (0, 0, index, 0),
+                                           (b, h, c, dh))
+            merged = jnp.where(sel, new.astype(buf.dtype), region)
+            return jax.lax.dynamic_update_slice(buf, merged,
+                                                (0, 0, index, 0))
+
+        return {"k": wr_dense(cache["k"], k_c),
+                "v": wr_dense(cache["v"], v_c)}
+
 
 def fill_cache_row(cache: dict, row, k, v, length) -> dict:
     """Write ONE row of a decode cache from full-prefix K/V in one shot —
