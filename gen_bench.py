@@ -68,6 +68,25 @@ def main(args):
     params = cast_float_params(state["params"], params_dtype)
     is_vae = experiment.endswith("vae")
 
+    # spec_draft=<experiment>:<name> enables the draft-MODEL speculative
+    # row (models/spec_decode.py): that checkpoint proposes spec_k tokens
+    # per pass, the target verifies them in one chunked decode. Batch 1.
+    spec_draft = extra.get("spec_draft")
+    spec_k = int(extra.get("spec_k", 8))
+    draft_propose = draft_init = None
+    if spec_draft:
+        d_exp, d_name = spec_draft.split(":", 1)
+        d_mod, _, _, d_state, _ = load_checkpoint_for_name(
+            d_exp, d_name, step=extra.get("spec_draft_step"))
+        d_params = cast_float_params(d_state["params"], params_dtype)
+
+        def draft_propose(state, last, rng):
+            return d_mod.apply({"params": d_params}, state, last, rng,
+                               spec_k, method=type(d_mod).draft_propose)
+
+        draft_init = d_mod.apply({"params": d_params}, 1,
+                                 method=type(d_mod).initial_rnn_state)
+
     z = None
     if is_vae:
         z = jax.random.normal(jax.random.PRNGKey(7),
@@ -155,6 +174,28 @@ def main(args):
                                               max(draft, 0))
                 rows[f"speculative_draft{max(draft, 0)}"] = (t_sp,
                                                              int(sp_it))
+        if draft_propose is not None and batch == 1:
+            @jax.jit
+            def spec_model(rng):
+                kw = {"z": z} if is_vae else {}
+                return module.apply(
+                    {"params": params}, rng, seq, draft_propose,
+                    draft_init, sampling=sampling, end_token=-1,
+                    draft_k=spec_k, **kw,
+                    method=type(module).spec_draft_generate)
+
+            t_sm, (sm_out, sm_it, sm_acc) = timed(spec_model)
+            rows[f"spec_model_k{spec_k}"] = (t_sm, int(sm_it))
+            extras["spec_model_accepted"] = int(sm_acc)
+            extras["spec_model_tokens_per_pass"] = round(
+                (seq - 1) / max(int(sm_it), 1), 3)
+            if check and (sampling.temperature <= 0.0
+                          or sampling.top_k == 1):
+                # Greedy draft-model speculative decoding is trajectory-
+                # exact vs AR (tested on CPU; verified on the chip here).
+                import numpy as np
+                extras["spec_model_mismatch_tokens"] = int(
+                    (np.asarray(ar_out) != np.asarray(sm_out)).sum())
         if run_full:
             t_j, (j_out, j_it) = timed(full_jacobi)
             rows["jacobi_full"] = (t_j, int(j_it))

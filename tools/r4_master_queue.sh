@@ -55,6 +55,40 @@ python tools/serve_bench.py --requests 512 --concurrency 64 \
 kill $SRV 2>/dev/null
 wait $SRV 2>/dev/null
 
+# ---- 3b. train the DRAFT model for two-model speculative decoding
+# (models/spec_decode.py): a cheap d256x2 LSTM on the same chunked corpus
+# and tokenizer as the d512 targets. Draft quality sets the acceptance
+# rate; cost per drafted token must stay far below a target AR step.
+timeout 5400 python train.py lstm-lm \
+    data.dataset_name=local-prose data.chunk_documents=true \
+    data.tokens_per_batch=50000 data.min_tokens_per_sample=512 \
+    data.max_tokens_per_sample=3125 \
+    model.d_model=256 model.num_layers=2 model.precision=bf16 \
+    model.grad_clip_threshold=150.0 model.init_scale=0.02 model.lr=3e-4 \
+    model.tie_embedding_weights=true \
+    trainer.accumulate_grad_batches=2 trainer.val_check_interval=0.1 \
+    trainer.max_steps=5000 name=draft-lstm-r4 \
+    > /tmp/draft_lstm_train.log 2>&1
+python tools/snapshot_run.py lstm-lm draft-lstm-r4
+
+# ---- 3c. draft-model speculative rows: the sampled-mode lever, measured.
+# Dense LM target (the classic two-model serving case) and the flagship
+# VAE target (draft cannot see z — the acceptance cost of conditioning).
+python gen_bench.py transformer-lm real-prose-lm-r4 seq=8192 batch=1 \
+    modes=greedy,sampled draft=0 check=1 \
+    spec_draft=lstm-lm:draft-lstm-r4 spec_k=8 \
+    > runs/gen_r4/spec_lm_k8.json 2> runs/gen_r4/spec_lm_k8.log
+
+python gen_bench.py transformer-lm real-prose-lm-r4 seq=8192 batch=1 \
+    modes=sampled draft=0 \
+    spec_draft=lstm-lm:draft-lstm-r4 spec_k=16 \
+    > runs/gen_r4/spec_lm_k16.json 2> runs/gen_r4/spec_lm_k16.log
+
+python gen_bench.py transformer-vae real-prose-vae seq=8192 batch=1 \
+    modes=sampled draft=3 \
+    spec_draft=lstm-lm:draft-lstm-r4 spec_k=8 \
+    > runs/gen_r4/spec_vae_k8.json 2> runs/gen_r4/spec_vae_k8.log
+
 # ---- 4. heads=4 dense-LM quality twin (bench.py --heads 4 measured
 # 326,769 tok/s vs 285k at heads=8; this is the quality half of the flip
 # decision, one run instead of two because real-prose-lm-r4 already
