@@ -413,6 +413,39 @@ class TransformerLanguageModel(nn.Module):
                 for layer, cache, kv in zip(self.decoder_layers, caches,
                                             kvs)]
 
+    def draft_propose(self, state, last_token, rng, k: int,
+                      temperature: float = 1.0):
+        """Draft k tokens for speculative decoding when THIS model is the
+        cheap draft (see LSTMLanguageModel.draft_propose for the contract).
+
+        state = (caches, index): the decode caches consumed through
+        index-1. Sparse (ring-cache) configurations are the natural draft
+        — the stacked rewind states are O(window) per entry; a dense-cache
+        draft stacks k+1 full [B, H, max_length, Dh] copies and is only
+        sensible for short lengths. Returns (drafts [B, k],
+        q_logp [B, k, V], state stack with k+1 entries)."""
+        def step(carry, rng_i):
+            (caches, index), tok = carry[0], carry[1]
+            logits, caches2 = self.decode_step(tok, caches, index)
+            logp = jax.nn.log_softmax(
+                logits.astype(jnp.float32) / temperature)
+            nxt = jax.random.categorical(rng_i, logp).astype(jnp.int32)
+            st2 = (tuple(caches2), index + 1)
+            return (st2, nxt), (nxt, logp, st2)
+
+        caches, index = state
+        rngs = jax.random.split(rng, k + 1)
+        _, (toks, logps, states) = jax.lax.scan(
+            step, ((tuple(caches), index), last_token), rngs)
+        drafts = jnp.transpose(toks[:k])
+        q_logp = jnp.transpose(logps[:k], (1, 0, 2))
+        return drafts, q_logp, states
+
+    def draft_init_state(self, batch_size: int, max_length: int):
+        """Initial (caches, index) draft state (draft_propose)."""
+        return (tuple(self.init_caches(batch_size, max_length)),
+                jnp.asarray(0, jnp.int32))
+
     def decode_step_rowwise(self, token, caches, index):
         """decode_step with PER-ROW positions (index: [B] int32) — the
         continuous-batching step (serving.py)."""

@@ -26,10 +26,11 @@ def lm_model(sparse: bool, **kw):
     # window 3 x block 4: chunk sizes up to (w-1)*bs+1 = 9 are legal
     # (decode_chunk's CLS-lifetime bound), and T=24 wraps the 12-slot ring
     # twice.
-    hp = TransformerHparams(d_model=32, num_heads=4, num_layers=2,
-                            vocab_size=VOCAB, sparse_self_attention=sparse,
-                            attn_block_size=4, attn_window_size=3,
-                            use_pallas_kernel=False, **kw)
+    cfg = dict(d_model=32, num_heads=4, num_layers=2, vocab_size=VOCAB,
+               sparse_self_attention=sparse, attn_block_size=4,
+               attn_window_size=3, use_pallas_kernel=False)
+    cfg.update(kw)
+    hp = TransformerHparams(**cfg)
     model = TransformerLanguageModel(hp)
     params = model.init(jax.random.PRNGKey(0),
                         jnp.ones((1, 16), jnp.int32))["params"]
@@ -256,6 +257,30 @@ class TestChunkSpeculativeDecode:
                             method=LSTMLanguageModel.initial_rnn_state)
         got, iters, acc = model.apply(
             {"params": params}, jax.random.PRNGKey(7), 24, draft_propose,
+            dinit, greedy, draft_k=4,
+            method=TransformerLanguageModel.spec_draft_generate)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_transformer_draft_greedy_equals_ar(self):
+        """A sparse-transformer draft (ring-cache state stack) through the
+        same loop: greedy output must equal the AR trajectory."""
+        model, params = lm_model(True)
+        greedy = SamplingParams(temperature=0.0, repetition_penalty=1.2)
+        want = model.apply({"params": params}, jax.random.PRNGKey(13), 24,
+                           1, greedy, method=TransformerLanguageModel.sample)
+
+        dmodel, dparams = lm_model(True, num_layers=1)
+
+        def draft_propose(state, last, rng):
+            return dmodel.apply(
+                {"params": dparams}, state, last, rng, 4,
+                method=TransformerLanguageModel.draft_propose)
+
+        dinit = dmodel.apply(
+            {"params": dparams}, 1, 32,
+            method=TransformerLanguageModel.draft_init_state)
+        got, iters, acc = model.apply(
+            {"params": params}, jax.random.PRNGKey(13), 24, draft_propose,
             dinit, greedy, draft_k=4,
             method=TransformerLanguageModel.spec_draft_generate)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
