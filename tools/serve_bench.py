@@ -69,6 +69,10 @@ def main():
     ap.add_argument("--concurrency", type=int, default=64)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--timeout", type=float, default=600.0)
+    # The server 503s /healthz until its warmup slice COMPILES — minutes
+    # over a cold cache on a contended host (measured >300 s once the
+    # decode graph changes), so the health wait must outlast a compile.
+    ap.add_argument("--health_timeout", type=float, default=1800.0)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -79,7 +83,7 @@ def main():
     lock = threading.Lock()
 
     # wait for the server to be up
-    deadline = time.time() + 300
+    deadline = time.time() + args.health_timeout
     while True:
         try:
             urllib.request.urlopen(args.url + "/healthz", timeout=5).read()
