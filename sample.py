@@ -49,7 +49,41 @@ def main(args):
                                extra.get("params_dtype", "fp32"))
     end = -1 if ignore_end else SEP_ID
 
-    if continuous:
+    # spec_draft=<experiment>:<name>: draft-model speculative decoding
+    # (models/spec_decode.py) — batch-1 only, the low-latency single-
+    # document path (e.g. one long qualitative sample). A cheaper trained
+    # checkpoint proposes spec_k tokens per pass; the target verifies them
+    # in one chunked decode. Distribution-exact.
+    spec_draft = extra.get("spec_draft")
+    if spec_draft:
+        assert batch_size == 1, "spec_draft is the batch-1 latency path"
+        spec_k = int(extra.get("spec_k", 8))
+        d_exp, d_name = spec_draft.split(":", 1)
+        d_mod, _, _, d_state, _ = load_checkpoint_for_name(
+            d_exp, d_name, step=extra.get("spec_draft_step"))
+        d_params = cast_float_params(d_state["params"],
+                                     extra.get("params_dtype", "fp32"))
+
+        def draft_propose(dstate, last, rng):
+            return d_mod.apply({"params": d_params}, dstate, last, rng,
+                               spec_k, method=type(d_mod).draft_propose)
+
+        draft_init = d_mod.apply({"params": d_params}, 1,
+                                 method=type(d_mod).initial_rnn_state)
+
+        @jax.jit
+        def spec_batch(rng):
+            out, _, _ = module.apply(
+                {"params": params}, rng, max_length, draft_propose,
+                draft_init, end_token=end, draft_k=spec_k,
+                method=type(module).spec_draft_generate)
+            return out
+
+        from sparse_vae_tpu.batch_generation import batch_generate_samples
+        outputs = batch_generate_samples(
+            lambda i: spec_batch(jax.random.PRNGKey(i)), num_samples,
+            max_length, end_token=None if ignore_end else SEP_ID)
+    elif continuous:
         from sparse_vae_tpu.serving import continuous_batch_sample
         outputs = continuous_batch_sample(
             module, params, jax.random.PRNGKey(0), num_samples, max_length,
