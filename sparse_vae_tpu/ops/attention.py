@@ -773,6 +773,122 @@ class Attention(nn.Module):
         out = dense_attention(q, k_all, v_all, valid[None, None])
         return self._finalize(out), (k_c, v_c)
 
+    def decode_chunk_rowwise(self, x, cache, index):
+        """decode_chunk with PER-ROW positions: index [B] int32 is each
+        row's chunk start (continuous batching — rows sit at their own
+        offsets). Row r's semantics equal decode_chunk at index[r]
+        (tested). Returns (out [B, C, D], (k_c, v_c)) — commit via
+        commit_chunk_rowwise."""
+        b, c = x.shape[:2]
+        q = apply_rotary(split_heads(self.q_linear(x), self.local_heads),
+                         self.rotary_base, offset=index)
+        k_c = apply_rotary(split_heads(self.k_linear(x), self.local_heads),
+                           self.rotary_base, offset=index)
+        v_c = split_heads(self.v_linear(x), self.local_heads)
+        ci = jnp.arange(c)
+        intra = (ci[:, None] >= ci[None, :])[None]           # [1, C, C]
+
+        if "k_ring" in cache:
+            bs, w = self.block_size, self.window_size
+            ring_len = w * bs
+            assert c <= (w - 1) * bs + 1, (c, w, bs)
+            qb = (index[:, None] + ci[None, :]) // bs         # [B, C]
+            qb_old = (index - 1) // bs                        # [B]
+            j = jnp.arange(ring_len)
+            slot, offs = j // bs, j % bs
+            b_old = qb_old[:, None] - ((qb_old[:, None] % w
+                                        - slot[None, :]) % w)  # [B, ring]
+            pos_old = b_old * bs + offs[None, :]
+            written = (pos_old <= (index - 1)[:, None]) & (b_old >= 0)
+            ring_valid = written[:, None, :] & (b_old[:, None, :]
+                                                > (qb[:, :, None] - w))
+            cls_valid = jnp.broadcast_to((qb >= w)[:, :, None], (b, c, bs))
+            valid = jnp.concatenate(
+                [cls_valid, ring_valid,
+                 jnp.broadcast_to(intra, (b, c, c))], axis=2)
+            dt = cache["k_ring"].dtype
+            k_all = jnp.concatenate(
+                [cache["k_cls"], cache["k_ring"], k_c.astype(dt)], axis=2)
+            v_all = jnp.concatenate(
+                [cache["v_cls"], cache["v_ring"], v_c.astype(dt)], axis=2)
+            out = dense_attention(q, k_all, v_all, valid[:, None])
+            return self._finalize(out), (k_c, v_c)
+
+        positions = jnp.arange(cache["k"].shape[2])
+        old_valid = jnp.broadcast_to(
+            (positions[None, :] <= (index - 1)[:, None])[:, None, :],
+            (b, c, positions.shape[0]))
+        if self.sparse:
+            qb = (index[:, None] + ci[None, :]) // self.block_size
+            kb = positions // self.block_size
+            old_valid = old_valid & ((kb[None, None, :]
+                                      > (qb[:, :, None] - self.window_size))
+                                     | (kb[None, None, :] == 0))
+        valid = jnp.concatenate(
+            [old_valid, jnp.broadcast_to(intra, (b, c, c))], axis=2)
+        dt = cache["k"].dtype
+        k_all = jnp.concatenate([cache["k"], k_c.astype(dt)], axis=2)
+        v_all = jnp.concatenate([cache["v"], v_c.astype(dt)], axis=2)
+        out = dense_attention(q, k_all, v_all, valid[:, None])
+        return self._finalize(out), (k_c, v_c)
+
+    def commit_chunk_rowwise(self, cache, kv, index, m):
+        """commit_chunk with PER-ROW start positions (index [B]) and
+        PER-ROW accepted lengths (m [B]) — scatter-free one-hot merges,
+        like row_cache_write."""
+        k_c, v_c = kv
+        b, _, c, _ = k_c.shape
+        if "k_ring" in cache:
+            bs, w = self.block_size, self.window_size
+            ring_len = w * bs
+            assert ring_len >= c, (ring_len, c)
+            s = jnp.arange(ring_len)
+            i_s = (s[None, :] - index[:, None]) % ring_len      # [B, ring]
+            valid = i_s < jnp.minimum(m, c)[:, None]
+            idx = jnp.clip(i_s, 0, c - 1)
+
+            def wr(buf, new):
+                g = jnp.take_along_axis(
+                    new.astype(buf.dtype),
+                    idx[:, None, :, None].repeat(new.shape[1], 1)
+                       .repeat(new.shape[3], 3), axis=2)
+                return jnp.where(valid[:, None, :, None], g, buf)
+
+            p = jnp.arange(bs)
+            i_p = p[None, :] - index[:, None]                   # [B, bs]
+            cvalid = (i_p >= 0) & (i_p < jnp.minimum(m, c)[:, None])
+            cidx = jnp.clip(i_p, 0, c - 1)
+
+            def wr_cls(buf, new):
+                g = jnp.take_along_axis(
+                    new.astype(buf.dtype),
+                    cidx[:, None, :, None].repeat(new.shape[1], 1)
+                        .repeat(new.shape[3], 3), axis=2)
+                return jnp.where(cvalid[:, None, :, None], g, buf)
+
+            return {"k_ring": wr(cache["k_ring"], k_c),
+                    "v_ring": wr(cache["v_ring"], v_c),
+                    "k_cls": wr_cls(cache["k_cls"], k_c),
+                    "v_cls": wr_cls(cache["v_cls"], v_c)}
+
+        # Dense cache: O(max_length) gather-merge per call (per-row starts
+        # preclude a static slice). Ring caches are the serving layout;
+        # this path exists for completeness and short dense contexts.
+        positions = jnp.arange(cache["k"].shape[2])
+        i_p = positions[None, :] - index[:, None]               # [B, L]
+        valid = (i_p >= 0) & (i_p < jnp.minimum(m, c)[:, None])
+        idx = jnp.clip(i_p, 0, c - 1)
+
+        def wr_dense(buf, new):
+            g = jnp.take_along_axis(
+                new.astype(buf.dtype),
+                idx[:, None, :, None].repeat(new.shape[1], 1)
+                   .repeat(new.shape[3], 3), axis=2)
+            return jnp.where(valid[:, None, :, None], g, buf)
+
+        return {"k": wr_dense(cache["k"], k_c),
+                "v": wr_dense(cache["v"], v_c)}
+
     def commit_chunk(self, cache, kv, index, m):
         """Write the first m tokens of a decode_chunk peek into the cache.
 

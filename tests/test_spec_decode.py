@@ -148,6 +148,62 @@ class TestDecodeChunk:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+class TestDecodeChunkRowwise:
+    """Per-row-position chunk verification (the serving-side primitive):
+    every row must equal the scalar decode_chunk at that row's index, for
+    outputs AND committed cache bits."""
+
+    @pytest.mark.parametrize("sparse", [True, False])
+    def test_rowwise_equals_per_row_scalar(self, sparse):
+        from sparse_vae_tpu.ops.attention import Attention
+        attn = Attention(d_model=32, num_heads=4, causal=True,
+                         sparse=sparse, window_size=3, block_size=4,
+                         use_pallas_kernel=False)
+        key = jax.random.PRNGKey(0)
+        params = attn.init(key, jnp.ones((1, 4, 32)), jnp.ones((1, 4, 32)),
+                           method=Attention.__call__)["params"]
+        C, max_len = 5, 32
+        prefix_lens = [5, 9, 14]          # straddle block boundaries
+        commit_ms = [0, 3, 5]
+
+        def scalar_row(L, m, seed):
+            toks = jax.random.normal(jax.random.PRNGKey(seed),
+                                     (1, L + C, 32))
+            cache = attn.apply({"params": params}, 1, max_len,
+                               method=Attention.init_cache)
+            for i in range(L):
+                _, cache = attn.apply({"params": params},
+                                      toks[:, i:i + 1], cache, i,
+                                      method=Attention.decode)
+            out, kv = attn.apply({"params": params}, toks[:, L:L + C],
+                                 cache, L, method=Attention.decode_chunk)
+            committed = attn.apply({"params": params}, cache, kv, L, m,
+                                   method=Attention.commit_chunk)
+            return toks[:, L:L + C], cache, out, committed
+
+        rows = [scalar_row(L, m, 7 + r)
+                for r, (L, m) in enumerate(zip(prefix_lens, commit_ms))]
+        stack = lambda xs: jax.tree_util.tree_map(
+            lambda *ls: jnp.concatenate(ls, axis=0), *xs)
+        x_b = stack([r[0] for r in rows])
+        cache_b = stack([r[1] for r in rows])
+        idx = jnp.asarray(prefix_lens, jnp.int32)
+        out_b, kv_b = attn.apply({"params": params}, x_b, cache_b, idx,
+                                 method=Attention.decode_chunk_rowwise)
+        want_out = stack([r[2] for r in rows])
+        np.testing.assert_allclose(np.asarray(out_b), np.asarray(want_out),
+                                   rtol=2e-5, atol=2e-5)
+        committed_b = attn.apply(
+            {"params": params}, cache_b, kv_b, idx,
+            jnp.asarray(commit_ms, jnp.int32),
+            method=Attention.commit_chunk_rowwise)
+        want_cache = stack([r[3] for r in rows])
+        for a, b in zip(jax.tree_util.tree_leaves(committed_b),
+                        jax.tree_util.tree_leaves(want_cache)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-5)
+
+
 class TestChunkSpeculativeDecode:
     """The draft-model speculative loop (models/spec_decode.py)."""
 
