@@ -192,10 +192,18 @@ def main(args):
             if check and (sampling.temperature <= 0.0
                           or sampling.top_k == 1):
                 # Greedy draft-model speculative decoding is trajectory-
-                # exact vs AR (tested on CPU; verified on the chip here).
+                # exact vs AR in exact arithmetic (tested on CPU). On the
+                # chip the two paths reduce different-shaped matmuls, so a
+                # near-tie argmax can flip once and cascade — the FIRST
+                # divergence index separates that from a systematic bug
+                # (an early first divergence with a large count is a bug;
+                # a late single flip is numerics).
                 import numpy as np
-                extras["spec_model_mismatch_tokens"] = int(
-                    (np.asarray(ar_out) != np.asarray(sm_out)).sum())
+                neq = np.asarray(ar_out) != np.asarray(sm_out)
+                extras["spec_model_mismatch_tokens"] = int(neq.sum())
+                extras["spec_model_first_mismatch"] = (
+                    int(np.flatnonzero(neq.any(0))[0])
+                    if neq.any() else None)
         if run_full:
             t_j, (j_out, j_it) = timed(full_jacobi)
             rows["jacobi_full"] = (t_j, int(j_it))
