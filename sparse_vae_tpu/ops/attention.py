@@ -49,6 +49,10 @@ def row_cache_write(buf, idx, val):
 # the virtual CPU mesh (tests/test_sp.py).
 _SP_KERNEL_INTERPRET = False
 
+# Test hook: force the packed-layout Pallas dispatch (in interpret mode)
+# off-TPU (tests/test_pallas_packed.py).
+_PACKED_KERNEL_INTERPRET = False
+
 
 def sliding_window_block_mask(num_q: int, num_k: int, block_size: int,
                               window_size: int, causal: bool = True,
@@ -189,6 +193,25 @@ class Attention(nn.Module):
         self.output_linear = nn.Dense(self.d_model, kernel_init=init,
                                       dtype=self.dtype)
 
+    def _packed_ok(self, lq: int, lk: int) -> bool:
+        """Dispatch gate for the packed-layout sparse kernel: full-sequence
+        sparse self-attention with tile-aligned head slices (Dh % 128 == 0,
+        where the lane-sliced layout wins — at Dh=64 it measured 2x slower,
+        BASELINE.md attention-layout experiments). SVT_PACKED_ATTN=0
+        disables it for A/B benches; semantics are identical either way
+        (tested). TP keeps the head-major path: its cache_seed/row-decode
+        surfaces are head-major and per-shard Dh is what matters anyway."""
+        import os
+        if os.environ.get("SVT_PACKED_ATTN", "auto") == "0":
+            return False
+        d_head = self.d_model // self.num_heads
+        return (self.use_pallas_kernel and self.sparse
+                and self.learned_queries is None and self.tp_size == 1
+                and lq == lk and lq % self.block_size == 0
+                and self.block_size % 128 == 0 and d_head % 128 == 0
+                and (_PACKED_KERNEL_INTERPRET
+                     or jax.default_backend() == "tpu"))
+
     @property
     def rotary_base(self) -> float:
         if self.sparse:
@@ -213,11 +236,14 @@ class Attention(nn.Module):
         return q, k, v
 
     def _finalize(self, out_heads):
-        """Merge heads and close the output projection (row-parallel under
+        """Merge heads and close the output projection."""
+        return self._close(merge_heads(out_heads))
+
+    def _close(self, merged):
+        """Output projection on merged [B, L, H*Dh] (row-parallel under
         TP: each shard's matmul is partial, one psum over 'model' completes
         it; the replicated bias — added by every shard — is evaluated once
         via a zero input and kept out of the reduction)."""
-        merged = merge_heads(out_heads)
         y = self.output_linear(merged)
         if self.tp_size > 1:
             from ..parallel.tp import reduce_activations
@@ -358,6 +384,27 @@ class Attention(nn.Module):
             x_kv = replicate_gradient(x_kv, self.tp_axis)
             x_q = x_kv if same else replicate_gradient(x_q, self.tp_axis)
         q, k, v = self._project(x_q, x_kv)
+        if self._packed_ok(q.shape[1], k.shape[1]):
+            # Packed-layout kernel (Dh % 128 == 0): the [B, L, H*Dh]
+            # projections feed the custom call directly — no head-major
+            # transposes at the boundary (the ~49 ms/step copy bucket at
+            # the bench shape; pallas_kernels.py packed section). Serving's
+            # bulk-prefill seed still wants head-major K/V, but only when
+            # the collection is actually mutable (never in training).
+            from jax.ad_checkpoint import checkpoint_name
+
+            from .pallas_kernels import sliding_window_attention_pallas_packed
+            if self.is_mutable_collection("cache_seed"):
+                self.sow("cache_seed", "k", split_heads(k, self.local_heads))
+                self.sow("cache_seed", "v", split_heads(v, self.local_heads))
+            q = checkpoint_name(q, "attn_qkv")
+            k = checkpoint_name(k, "attn_qkv")
+            v = checkpoint_name(v, "attn_qkv")
+            out = sliding_window_attention_pallas_packed(
+                q, k, v, kv_mask, self.local_heads, self.window_size,
+                self.block_size, self.causal, True,
+                _PACKED_KERNEL_INTERPRET)
+            return self._close(checkpoint_name(out, "attn_out"))
         q, k, v = (split_heads(t, self.local_heads) for t in (q, k, v))
         # Bulk-prefill seed (server.py): the head-major rotary K/V are
         # exactly what the decode caches store per position — sown only

@@ -513,6 +513,456 @@ sliding_window_attention_pallas.defvjp(_fwd, _bwd)
 
 
 # ---------------------------------------------------------------------------
+# Packed-layout variant (Dh = 128): no head-major transposes
+# ---------------------------------------------------------------------------
+#
+# The head-major kernels above force [B, H, L, Dh] operand layouts at the
+# custom-call boundary, so XLA physically transposes every projection output
+# and the kernel result each way (~49 ms/step of HBM copies at the bench
+# shape — BASELINE.md "Attention-layout experiments"). When Dh is a multiple
+# of the 128-lane register width, a head's slice of the PACKED [B, L, H*Dh]
+# projection output is tile-aligned, so the kernels below take the packed
+# tensors directly — same grid, same slot index maps, one DMA per K/V block
+# covering every head — and slice heads in-kernel along lanes (free at
+# Dh % 128 == 0; at Dh=64 this layout measured 2x slower per round 2, which
+# is why the head-major kernels remain the Dh<128 path). The per-head
+# matmuls are [bq,128]x[128,bk] MXU ops; the band/CLS mask is computed once
+# per slot instead of broadcast over H. LSE/delta stay head-major [B, H, L]
+# (fp32, tiny, produced and consumed at fused boundaries — no copy cost).
+
+
+def _fwd_kernel_packed(lengths_ref, q_ref, *refs, num_heads: int,
+                       window_size: int, block_size: int, num_k_blocks: int,
+                       causal: bool, include_cls: bool, sm_scale: float,
+                       slots: int, q_off: int = 0):
+    bi = pl.program_id(0)
+    qb = pl.program_id(1) + q_off
+    k_refs, v_refs = refs[:slots], refs[slots:2 * slots]
+    o_ref, lse_ref = refs[2 * slots], refs[2 * slots + 1]
+
+    q = q_ref[0]                                       # [bq, H*d]
+    bq = q.shape[0]
+    d = q.shape[1] // num_heads
+    length = lengths_ref[bi]
+
+    m = [jnp.full((bq, 1), -jnp.inf, jnp.float32) for _ in range(num_heads)]
+    l = [jnp.zeros((bq, 1), jnp.float32) for _ in range(num_heads)]
+    acc = [jnp.zeros((bq, d), jnp.float32) for _ in range(num_heads)]
+
+    for slot in range(slots):
+        k_block, valid = _slot_to_block(qb, slot, window_size, num_k_blocks,
+                                        causal, include_cls)
+        k = k_refs[slot][0]                            # [bk, H*d]
+        v = v_refs[slot][0]
+        mask = _tile_mask(qb, k_block, valid, (bq, k.shape[0]), length,
+                          block_size, causal)
+        for h in range(num_heads):
+            qh = q[:, h * d:(h + 1) * d]
+            kh = k[:, h * d:(h + 1) * d]
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * sm_scale   # [bq, bk]
+            s = jnp.where(mask, s, MASK_VALUE)
+            m_curr = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m[h], m_curr)
+            alpha = jnp.exp(m[h] - m_next)
+            p = jnp.exp(s - m_next)
+            l[h] = alpha * l[h] + jnp.sum(p, axis=1, keepdims=True)
+            vh = v[:, h * d:(h + 1) * d]
+            acc[h] = acc[h] * alpha + jax.lax.dot_general(
+                p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m[h] = m_next
+
+    l_safe = [jnp.where(x == 0.0, 1.0, x) for x in l]
+    o_ref[0] = jnp.concatenate(
+        [(acc[h] / l_safe[h]) for h in range(num_heads)],
+        axis=1).astype(o_ref.dtype)
+    lse_ref[0] = jnp.stack(
+        [(m[h] + jnp.log(l_safe[h]))[:, 0] for h in range(num_heads)],
+        axis=0)                                        # [H, bq]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "window_size", "block_size", "causal",
+                     "include_cls", "interpret", "q_off"))
+def _sliding_window_attention_fwd_packed(
+        q, k, v, kv_mask, *, num_heads: int, window_size: int,
+        block_size: int, causal: bool, include_cls: bool,
+        interpret: bool = False, lengths=None, q_off: int = 0):
+    """Packed twin of _sliding_window_attention_fwd_pallas: q/k/v are
+    [B, L, H*Dh] (the projection layout), Dh % 128 == 0. Returns the packed
+    output plus head-major lse [B, H, Lq]."""
+    b, Lq, hd = q.shape
+    Lk = k.shape[1]
+    d = hd // num_heads
+    assert hd % num_heads == 0 and d % 128 == 0, (hd, num_heads)
+    assert Lq % block_size == 0 and Lk % block_size == 0
+    assert Lk == Lq + q_off * block_size, (Lq, Lk, q_off)
+    nq = Lq // block_size
+    nk = Lk // block_size
+    slots = window_size + (1 if include_cls else 0)
+
+    if lengths is None:
+        if kv_mask is None:
+            lengths = jnp.full((b,), Lk, jnp.int32)
+        else:
+            lengths = jnp.sum(kv_mask.astype(jnp.int32), axis=-1)
+
+    def k_index(slot):
+        def index(bi, qb, lens):
+            kb, _ = _slot_to_block(qb + q_off, slot, window_size, nk,
+                                   causal, include_cls)
+            return (bi, kb, 0)
+        return index
+
+    qspec = pl.BlockSpec((1, block_size, hd),
+                         lambda bi, qb, lens: (bi, qb, 0))
+    kspecs = [pl.BlockSpec((1, block_size, hd), k_index(s))
+              for s in range(slots)]
+
+    kernel = functools.partial(
+        _fwd_kernel_packed, num_heads=num_heads, window_size=window_size,
+        block_size=block_size, num_k_blocks=nk, causal=causal,
+        include_cls=include_cls, sm_scale=d ** -0.5, slots=slots,
+        q_off=q_off)
+
+    out, lse = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((b, Lq, hd), q.dtype),
+                   jax.ShapeDtypeStruct((b, num_heads, Lq), jnp.float32)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, nq),
+            in_specs=[qspec] + kspecs + kspecs,
+            out_specs=(
+                pl.BlockSpec((1, block_size, hd),
+                             lambda bi, qb, lens: (bi, qb, 0)),
+                pl.BlockSpec((1, num_heads, block_size),
+                             lambda bi, qb, lens: (bi, 0, qb)),
+            ),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(lengths, q, *([k] * slots), *([v] * slots))
+    return out, lse, lengths
+
+
+def _p_and_ds_2d(qh, kh, vh, doh, lse_row, delta_row, mask, sm_scale):
+    """2-D (single-head lane slice) twin of _p_and_ds."""
+    s = jax.lax.dot_general(
+        qh, kh, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale           # [bq, bk]
+    p = jnp.where(mask, jnp.exp(s - lse_row[:, None]), 0.0)
+    dp = jax.lax.dot_general(
+        doh, vh, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                      # [bq, bk]
+    ds = p * (dp - delta_row[:, None]) * sm_scale
+    return p, ds
+
+
+def _dq_kernel_packed(lengths_ref, q_ref, do_ref, lse_ref, delta_ref, *refs,
+                      num_heads: int, window_size: int, block_size: int,
+                      num_k_blocks: int, causal: bool, include_cls: bool,
+                      sm_scale: float, slots: int, q_off: int = 0):
+    bi = pl.program_id(0)
+    qb = pl.program_id(1) + q_off
+    k_refs, v_refs = refs[:slots], refs[slots:2 * slots]
+    dq_ref = refs[2 * slots]
+
+    q, do = q_ref[0], do_ref[0]                        # [bq, H*d]
+    lse, delta = lse_ref[0], delta_ref[0]              # [H, bq]
+    bq = q.shape[0]
+    d = q.shape[1] // num_heads
+    length = lengths_ref[bi]
+
+    acc = [jnp.zeros((bq, d), jnp.float32) for _ in range(num_heads)]
+    for slot in range(slots):
+        k_block, valid = _slot_to_block(qb, slot, window_size, num_k_blocks,
+                                        causal, include_cls)
+        k, v = k_refs[slot][0], v_refs[slot][0]
+        mask = _tile_mask(qb, k_block, valid, (bq, k.shape[0]), length,
+                          block_size, causal)
+        for h in range(num_heads):
+            sl = slice(h * d, (h + 1) * d)
+            _, ds = _p_and_ds_2d(q[:, sl], k[:, sl], v[:, sl], do[:, sl],
+                                 lse[h], delta[h], mask, sm_scale)
+            acc[h] += jax.lax.dot_general(
+                ds.astype(k.dtype), k[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)              # [bq, d]
+    dq_ref[0] = jnp.concatenate(acc, axis=1).astype(dq_ref.dtype)
+
+
+def _dkv_band_kernel_packed(lengths_ref, k_ref, v_ref, *refs,
+                            num_heads: int, window_size: int,
+                            block_size: int, num_q_blocks: int, causal: bool,
+                            sm_scale: float, q_off: int = 0):
+    bi = pl.program_id(0)
+    kb = pl.program_id(1)
+    w = window_size
+    q_refs, do_refs = refs[:w], refs[w:2 * w]
+    lse_refs, delta_refs = refs[2 * w:3 * w], refs[3 * w:4 * w]
+    dk_ref, dv_ref = refs[4 * w], refs[4 * w + 1]
+
+    k, v = k_ref[0], v_ref[0]                          # [bk, H*d]
+    bk = k.shape[0]
+    d = k.shape[1] // num_heads
+    length = lengths_ref[bi]
+
+    dk = [jnp.zeros((bk, d), jnp.float32) for _ in range(num_heads)]
+    dv = [jnp.zeros((bk, d), jnp.float32) for _ in range(num_heads)]
+    for slot in range(w):
+        qb, valid = _band_q_for_k(kb, slot, window_size, num_q_blocks,
+                                  causal, q_off)
+        q, do = q_refs[slot][0], do_refs[slot][0]
+        lse, delta = lse_refs[slot][0], delta_refs[slot][0]     # [H, bq]
+        mask = _tile_mask(qb + q_off, kb, valid, (q.shape[0], bk), length,
+                          block_size, causal)
+        for h in range(num_heads):
+            sl = slice(h * d, (h + 1) * d)
+            p, ds = _p_and_ds_2d(q[:, sl], k[:, sl], v[:, sl], do[:, sl],
+                                 lse[h], delta[h], mask, sm_scale)
+            # dv += p^T do ; dk += ds^T q  (contract the query dim)
+            dv[h] += jax.lax.dot_general(
+                p.astype(do.dtype), do[:, sl], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)              # [bk, d]
+            dk[h] += jax.lax.dot_general(
+                ds.astype(q.dtype), q[:, sl], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    dk_ref[0] = jnp.concatenate(dk, axis=1).astype(dk_ref.dtype)
+    dv_ref[0] = jnp.concatenate(dv, axis=1).astype(dv_ref.dtype)
+
+
+def _dkv_cls_kernel_packed(
+    lengths_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref,
+    dk_scratch, dv_scratch,
+    *, num_heads: int, block_size: int, q_start: int, causal: bool,
+    sm_scale: float,
+):
+    """Packed twin of _dkv_cls_kernel: beyond-band query contributions to
+    the [CLS] key block, accumulated sequentially into one [bs, H*d]
+    fp32 scratch pair."""
+    bi = pl.program_id(0)
+    j = pl.program_id(1)
+    qb = q_start + j
+
+    @pl.when(j == 0)
+    def _init():
+        dk_scratch[...] = jnp.zeros_like(dk_scratch)
+        dv_scratch[...] = jnp.zeros_like(dv_scratch)
+
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    lse, delta = lse_ref[0], delta_ref[0]              # [H, bq]
+    d = q.shape[1] // num_heads
+    mask = _tile_mask(qb, 0, True, (q.shape[0], k.shape[0]),
+                      lengths_ref[bi], block_size, causal)
+    dvs, dks = [], []
+    for h in range(num_heads):
+        sl = slice(h * d, (h + 1) * d)
+        p, ds = _p_and_ds_2d(q[:, sl], k[:, sl], v[:, sl], do[:, sl],
+                             lse[h], delta[h], mask, sm_scale)
+        dvs.append(jax.lax.dot_general(
+            p.astype(do.dtype), do[:, sl], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+        dks.append(jax.lax.dot_general(
+            ds.astype(q.dtype), q[:, sl], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    dv_scratch[...] += jnp.concatenate(dvs, axis=1)
+    dk_scratch[...] += jnp.concatenate(dks, axis=1)
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _store():
+        dk_ref[0] = dk_scratch[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scratch[...].astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "window_size", "block_size", "causal",
+                     "include_cls", "interpret", "q_off"))
+def _bwd_packed(q, k, v, lengths, lse, o, do, *, num_heads: int,
+                window_size: int, block_size: int, causal: bool,
+                include_cls: bool, interpret: bool = False, q_off: int = 0):
+    b, Lq, hd = q.shape
+    Lk = k.shape[1]
+    d = hd // num_heads
+    nq = Lq // block_size
+    nk = Lk // block_size
+    assert Lk == Lq + q_off * block_size, (Lq, Lk, q_off)
+    slots = window_size + (1 if include_cls else 0)
+    sm_scale = d ** -0.5
+
+    # delta_h = rowsum over head h's lane slice of do * o — a fused
+    # reduce + small [B, L, H] -> [B, H, L] fp32 transpose (not the big
+    # packed tensors).
+    prod = do.astype(jnp.float32) * o.astype(jnp.float32)
+    delta = prod.reshape(b, Lq, num_heads, d).sum(-1).transpose(0, 2, 1)
+
+    qspec = pl.BlockSpec((1, block_size, hd),
+                         lambda bi, qb, lens: (bi, qb, 0))
+    rowspec = pl.BlockSpec((1, num_heads, block_size),
+                           lambda bi, qb, lens: (bi, 0, qb))
+
+    def k_index(slot):
+        def index(bi, qb, lens):
+            kb, _ = _slot_to_block(qb + q_off, slot, window_size, nk,
+                                   causal, include_cls)
+            return (bi, kb, 0)
+        return index
+
+    kspecs = [pl.BlockSpec((1, block_size, hd), k_index(s))
+              for s in range(slots)]
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _dq_kernel_packed, num_heads=num_heads, window_size=window_size,
+            block_size=block_size, num_k_blocks=nk, causal=causal,
+            include_cls=include_cls, sm_scale=sm_scale, slots=slots,
+            q_off=q_off),
+        out_shape=jax.ShapeDtypeStruct((b, Lq, hd), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, nq),
+            in_specs=[qspec, qspec, rowspec, rowspec] + kspecs + kspecs,
+            out_specs=pl.BlockSpec(
+                (1, block_size, hd),
+                lambda bi, qb, lens: (bi, qb, 0)),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(lengths, q, do, lse, delta, *([k] * slots), *([v] * slots))
+
+    def q_index(slot):
+        def index(bi, kb, lens):
+            qb, _ = _band_q_for_k(kb, slot, window_size, nq, causal, q_off)
+            return (bi, qb, 0)
+        return index
+
+    def qrow_index(slot):
+        def index(bi, kb, lens):
+            qb, _ = _band_q_for_k(kb, slot, window_size, nq, causal, q_off)
+            return (bi, 0, qb)
+        return index
+
+    kself = pl.BlockSpec((1, block_size, hd),
+                         lambda bi, kb, lens: (bi, kb, 0))
+    w = window_size
+    qspecs = [pl.BlockSpec((1, block_size, hd), q_index(s))
+              for s in range(w)]
+    qrows = [pl.BlockSpec((1, num_heads, block_size), qrow_index(s))
+             for s in range(w)]
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _dkv_band_kernel_packed, num_heads=num_heads,
+            window_size=window_size, block_size=block_size,
+            num_q_blocks=nq, causal=causal, sm_scale=sm_scale, q_off=q_off),
+        out_shape=(jax.ShapeDtypeStruct((b, Lk, hd), k.dtype),
+                   jax.ShapeDtypeStruct((b, Lk, hd), v.dtype)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, nk),
+            in_specs=[kself, kself] + qspecs + qspecs + qrows + qrows,
+            out_specs=(
+                pl.BlockSpec((1, block_size, hd),
+                             lambda bi, kb, lens: (bi, kb, 0)),
+                pl.BlockSpec((1, block_size, hd),
+                             lambda bi, kb, lens: (bi, kb, 0)),
+            ),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(lengths, k, v, *([q] * w), *([do] * w), *([lse] * w), *([delta] * w))
+
+    left = _band_left(window_size, causal)
+    assert not (include_cls and q_off), "CLS column handled by the caller"
+    if include_cls and nq > left:
+        cspec = pl.BlockSpec((1, block_size, hd),
+                             lambda bi, j, lens: (bi, left + j, 0))
+        crow = pl.BlockSpec((1, num_heads, block_size),
+                            lambda bi, j, lens: (bi, 0, left + j))
+        k0 = pl.BlockSpec((1, block_size, hd),
+                          lambda bi, j, lens: (bi, 0, 0))
+        dk0, dv0 = pl.pallas_call(
+            functools.partial(
+                _dkv_cls_kernel_packed, num_heads=num_heads,
+                block_size=block_size, q_start=left, causal=causal,
+                sm_scale=sm_scale),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, block_size, hd), k.dtype),
+                jax.ShapeDtypeStruct((b, block_size, hd), v.dtype)),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(b, nq - left),
+                in_specs=[cspec, k0, k0, cspec, crow, crow],
+                out_specs=(
+                    pl.BlockSpec((1, block_size, hd),
+                                 lambda bi, j, lens: (bi, 0, 0)),
+                    pl.BlockSpec((1, block_size, hd),
+                                 lambda bi, j, lens: (bi, 0, 0)),
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((block_size, hd), jnp.float32),
+                    pltpu.VMEM((block_size, hd), jnp.float32)],
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+            interpret=interpret,
+        )(lengths, q, k, v, do, lse, delta)
+        dk = dk.at[:, :block_size].add(dk0)
+        dv = dv.at[:, :block_size].add(dv0)
+
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def sliding_window_attention_pallas_packed(
+        q, k, v, kv_mask, num_heads: int, window_size: int = 2,
+        block_size: int = 128, causal: bool = True,
+        include_cls: bool = True, interpret: bool = False):
+    """Fused sliding-window + CLS attention on PACKED projections.
+
+    q/k/v: [B, L, num_heads * Dh] with Dh % 128 == 0 — the projection
+    layout, so no head-major transposes enter the custom-call boundary.
+    Semantics identical to sliding_window_attention_pallas on
+    split_heads(q/k/v) (tested, gradients included)."""
+    out, _, _ = _sliding_window_attention_fwd_packed(
+        q, k, v, kv_mask, num_heads=num_heads, window_size=window_size,
+        block_size=block_size, causal=causal, include_cls=include_cls,
+        interpret=interpret)
+    return out
+
+
+def _packed_fwd(q, k, v, kv_mask, num_heads, window_size, block_size,
+                causal, include_cls, interpret):
+    out, lse, lengths = _sliding_window_attention_fwd_packed(
+        q, k, v, kv_mask, num_heads=num_heads, window_size=window_size,
+        block_size=block_size, causal=causal, include_cls=include_cls,
+        interpret=interpret)
+    return out, (q, k, v, lengths, lse, out)
+
+
+def _packed_bwd(num_heads, window_size, block_size, causal, include_cls,
+                interpret, residuals, g):
+    q, k, v, lengths, lse, out = residuals
+    dq, dk, dv = _bwd_packed(
+        q, k, v, lengths, lse, out, g, num_heads=num_heads,
+        window_size=window_size, block_size=block_size, causal=causal,
+        include_cls=include_cls, interpret=interpret)
+    return dq, dk, dv, None
+
+
+sliding_window_attention_pallas_packed.defvjp(_packed_fwd, _packed_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Sequence-parallel variant (parallel/sp.py): fused kernels per length shard
 # ---------------------------------------------------------------------------
 #
