@@ -638,6 +638,11 @@ def main():
     # Default from the round-3 on-chip A/B (BASELINE.md): saving the
     # head-major q/k/v AND the attention kernel output beats plain 'dots'
     # (360.0 vs 362.1 ms/step); saving only the output loses (372.7).
+    parser.add_argument("--ckpt", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="layer gradient checkpointing; --no-ckpt "
+                        "saves every activation (≈5-6 GB at the bench "
+                        "shape) and skips the backward recompute")
     parser.add_argument("--remat", default="dots_attn_qkv",
                         choices=["full", "dots", "dots_attn",
                                  "dots_attn_qkv", "offload"])
@@ -705,7 +710,7 @@ def main():
             d_model=512, num_heads=args.heads, num_layers=6, latent_depth=64,
             vocab_size=2 ** 15, num_encoder_latents=64,
             sparse_self_attention=True, attn_window_size=2,
-            attn_block_size=128, grad_checkpointing=True,
+            attn_block_size=128, grad_checkpointing=args.ckpt,
             loss_chunk_size=2048, use_pallas_kernel=args.pallas,
             precision="bf16", remat_policy=args.remat)
 
