@@ -635,14 +635,19 @@ def main():
     parser.add_argument("--profile", action="store_true",
                         help="jax.profiler trace of the timed steps to "
                              "/tmp/svt-profile")
-    # Default from the round-3 on-chip A/B (BASELINE.md): saving the
-    # head-major q/k/v AND the attention kernel output beats plain 'dots'
-    # (360.0 vs 362.1 ms/step); saving only the output loses (372.7).
+    # Default from the round-4 on-chip A/B (BASELINE.md): at the bench
+    # shape (8x12800, d512x6) every activation fits in the v5e's 16 GB HBM
+    # (~5-6 GB), so skipping the backward recompute entirely beats the best
+    # remat policy — 320.7 vs 359.2 ms/step, loss canary bit-identical
+    # (10.4936). Remat remains the default in train.py for the regimes
+    # that need it (pg19's 102,400-token documents); --ckpt restores it
+    # here. The round-3 remat A/B (dots_attn_qkv > dots > dots_attn) still
+    # governs the --ckpt path.
     parser.add_argument("--ckpt", action=argparse.BooleanOptionalAction,
-                        default=True,
-                        help="layer gradient checkpointing; --no-ckpt "
-                        "saves every activation (≈5-6 GB at the bench "
-                        "shape) and skips the backward recompute")
+                        default=False,
+                        help="layer gradient checkpointing; the default "
+                        "(off) saves every activation (≈5-6 GB at the "
+                        "bench shape) and skips the backward recompute")
     parser.add_argument("--remat", default="dots_attn_qkv",
                         choices=["full", "dots", "dots_attn",
                                  "dots_attn_qkv", "offload"])
