@@ -38,7 +38,7 @@ BACKOFF_S = 100  # axon worker recovers in ~1-2 min
 # top-level shell PID in these files; the supervisor below preempts them
 # for the duration of a bench run so the driver's round-end invocation
 # never records value=0 against a busy chip.
-DEFAULT_QUEUE_PIDFILE_GLOB = "/tmp/r4_*queue*.pid"
+DEFAULT_QUEUE_PIDFILE_GLOB = "/tmp/r*_*queue*.pid"
 PREEMPT_GRACE_S = 240  # give a holder this long to finish on its own
 
 
