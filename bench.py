@@ -644,10 +644,14 @@ def main():
     # here. The round-3 remat A/B (dots_attn_qkv > dots > dots_attn) still
     # governs the --ckpt path.
     parser.add_argument("--ckpt", action=argparse.BooleanOptionalAction,
-                        default=False,
+                        default=None,
                         help="layer gradient checkpointing; the default "
                         "(off) saves every activation (≈5-6 GB at the "
-                        "bench shape) and skips the backward recompute")
+                        "bench shape) and skips the backward recompute. "
+                        "NOTE: off is only memory-safe near the validated "
+                        "default shape — larger --batch/--seq can OOM the "
+                        "16 GB v5e where remat was safe (bench warns and "
+                        "auto-enables --ckpt past ~2x the default tokens)")
     parser.add_argument("--remat", default="dots_attn_qkv",
                         choices=["full", "dots", "dots_attn",
                                  "dots_attn_qkv", "offload"])
@@ -707,6 +711,16 @@ def main():
             loss_chunk_size=256, use_pallas_kernel=False, precision="fp32")
     else:
         b, L = args.batch, args.seq
+        # No-remat is only validated to fit the 16 GB v5e near the default
+        # 8x12800 shape (~5-6 GB of saved activations); past ~2x that token
+        # count, auto-restore grad checkpointing instead of OOMing. An
+        # EXPLICIT --no-ckpt (args.ckpt is False, not None) wins.
+        if args.ckpt is None and b * L > 2 * 8 * 12800:
+            print(f"# bench: {b}x{L} exceeds 2x the validated no-remat "
+                  "shape; enabling --ckpt (pass --no-ckpt explicitly after "
+                  "verifying memory)", file=sys.stderr)
+            args.ckpt = True
+        args.ckpt = bool(args.ckpt)
         # --heads 4 gives Dh=128 — the geometry where per-head slices fill
         # the 128-lane registers and the custom-call boundary copies vanish
         # (BASELINE.md attention-layout experiments). The canonical bench
