@@ -54,6 +54,20 @@ class TrainOutcome:
     metrics_history: list
 
 
+def defer_accum_groups(batch_iter, k: int, pending: Dict[tuple, list]):
+    """Collect same-shape TextBatches into full k-stacks, deferring partial
+    groups in `pending` (keyed by token_ids shape) for a later call —
+    typically the next epoch — instead of emitting odd-shaped stacks.
+    Yields (stacked arrays [k, rows, L], last TextBatch of the group)."""
+    from ..parallel.spmd import stack_microbatches
+    for batch in batch_iter:
+        key = batch.token_ids.shape
+        pending.setdefault(key, []).append(batch)
+        if len(pending[key]) == k:
+            group = pending.pop(key)
+            yield stack_microbatches(group), group[-1]
+
+
 def early_stop_start_step(thp: TrainerHparams, hp) -> int:
     """First step at which the early-stopping monitor is armed.
 
@@ -101,6 +115,7 @@ class Trainer:
         self.sample_fn = sample_fn
         self.reconstruct_fn = reconstruct_fn
         self.mesh = mesh
+        self._pending_groups: Dict[tuple, list] = {}
 
         self.run_dir = run_dir(experiment, name, log_root)
         self.writer = MetricsWriter(self.run_dir if enable_logging else None,
@@ -196,23 +211,26 @@ class Trainer:
 
     def _accum_groups(self, seed: int):
         """Group the epoch's batches into shape-homogeneous stacks of
-        accumulate_grad_batches microbatches (remainders flush at epoch end
-        as smaller stacks). Yields (stacked arrays [k, rows, ...], last
-        TextBatch of the group — for the sampling callback)."""
-        from ..parallel.spmd import stack_microbatches
-        k = self.thp.accumulate_grad_batches
-        pending: Dict[tuple, list] = {}
-        for batch in self.data.epoch_batches(
+        accumulate_grad_batches microbatches. Yields (stacked arrays
+        [k, rows, ...], last TextBatch of the group — for the sampling
+        callback).
+
+        Partial groups DEFER across epochs instead of flushing as smaller
+        stacks: every optimizer step therefore sees the one fixed
+        [k, rows, L] shape per length bucket. The previous flush-at-epoch-end
+        behavior emitted a [1, rows, L] twin of (nearly) every bucket —
+        measured on the flagship corpus: 16 of 33 compiled train-step shapes
+        were these one-use-per-epoch remainders, each a fresh multi-minute
+        XLA compile (the dominant wall cost of epoch 1 at every new model
+        geometry). Deferred microbatches are real data and complete with the
+        next epoch's batches of the same bucket; only training's final
+        partial groups (at most k-1 microbatches per bucket, once per run)
+        go unused — fit() reports that count."""
+        yield from defer_accum_groups(
+            self.data.epoch_batches(
                 "train", seed=seed, rows_multiple_of=self._rows_multiple,
-                pad_to_multiple_of=self._pad_multiple):
-            key = batch.token_ids.shape
-            pending.setdefault(key, []).append(batch)
-            if len(pending[key]) == k:
-                group = pending.pop(key)
-                yield stack_microbatches(group), group[-1]
-        for key in sorted(pending, key=str):
-            group = pending.pop(key)
-            yield stack_microbatches(group), group[-1]
+                pad_to_multiple_of=self._pad_multiple),
+            self.thp.accumulate_grad_batches, self._pending_groups)
 
     # -- validation ---------------------------------------------------------
     def validate(self, params, rng=None, max_batches: Optional[int] = None,
@@ -293,6 +311,7 @@ class Trainer:
         init_rng, rng = jax.random.split(rng)
         params, opt_state = self.init_state(init_rng)
         step = 0
+        self._pending_groups: Dict[tuple, list] = {}
 
         if resume and self.ckpt is not None:
             template = {"params": params, "opt_state": opt_state,
@@ -389,6 +408,11 @@ class Trainer:
                 continue
             break
 
+        leftover = sum(len(g) for g in self._pending_groups.values())
+        if leftover:
+            print(f"fit: {leftover} deferred microbatch(es) left unused at "
+                  "training end (partial accumulation groups; see "
+                  "_accum_groups)")
         if self.ckpt is not None:
             self._save(params, opt_state, step, rng)
             self.ckpt.close()
