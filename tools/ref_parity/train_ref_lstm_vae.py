@@ -336,6 +336,26 @@ def main():
             model._log_sink = sink = {}
             result = model.training_step(batch_dict(b), step)
             loss = result["loss"]
+            if not bool(torch.isfinite(loss)):
+                # Divergence diagnostics: the reference's ConditionalGaussian
+                # deliberately never clamps (conditional_gaussian.py:22-25 —
+                # "the AMP grad scaler will take care of that"); in plain
+                # fp32 there is no scaler, so record where the posterior sat
+                # and stop instead of training on NaN weights.
+                post = result.get("posterior")
+                emit({"step": step + 1, "diverged": True,
+                      "loss": float(loss),
+                      "posterior_scale_max":
+                          float(post.scale.max()) if post is not None
+                          else None,
+                      "posterior_loc_rms":
+                          float((post.loc ** 2).mean().sqrt())
+                          if post is not None else None,
+                      "kl_weight": float(model.hparams.kl_weight),
+                      "wall_s": round(time.time() - t0, 1)})
+                if out:
+                    out.close()
+                return 0
             opt.zero_grad()
             loss.backward()
             # Lightning's hook order: global_step == completed steps when
@@ -347,10 +367,14 @@ def main():
             sched.step()
             step += 1
             if step % 10 == 0:
+                post = result.get("posterior")
                 emit({"step": step, "train_loss": float(loss),
                       "train_nll": sink.get("train_nll"),
                       "train_kl": sink.get("train_kl"),
                       "kl_weight": float(model.hparams.kl_weight),
+                      "posterior_scale_max":
+                          float(post.scale.max()) if post is not None
+                          else None,
                       "wall_s": round(time.time() - t0, 1)})
             if step % args.val_every == 0 or step == args.max_steps:
                 m = validate()
