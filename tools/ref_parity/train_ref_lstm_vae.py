@@ -345,6 +345,8 @@ def main():
                 post = result.get("posterior")
                 emit({"step": step + 1, "diverged": True,
                       "loss": float(loss),
+                      "train_nll": sink.get("train_nll"),
+                      "train_kl": sink.get("train_kl"),
                       "posterior_scale_max":
                           float(post.scale.max()) if post is not None
                           else None,
