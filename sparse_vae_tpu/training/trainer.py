@@ -116,6 +116,7 @@ class Trainer:
         self.reconstruct_fn = reconstruct_fn
         self.mesh = mesh
         self._pending_groups: Dict[tuple, list] = {}
+        self._val_batches: Optional[list] = None
 
         self.run_dir = run_dir(experiment, name, log_root)
         self.writer = MetricsWriter(self.run_dir if enable_logging else None,
@@ -246,9 +247,15 @@ class Trainer:
                 jax.random.PRNGKey(self.thp.seed), step)
         totals: Dict[str, float] = {}
         limit = max_batches or self.thp.limit_val_batches
-        for i, batch in enumerate(self.data.epoch_batches(
+        # The validation batch stream is deterministic (seed=0), but
+        # re-planning + re-packing it on the host every validation is real
+        # wall time at a 0.1 val_check_interval (hundreds of validations per
+        # run); pack once and reuse (a few MB — the test split's tokens).
+        if self._val_batches is None:
+            self._val_batches = list(self.data.epoch_batches(
                 "test", seed=0, rows_multiple_of=self._rows_multiple,
-                pad_to_multiple_of=self._pad_multiple)):
+                pad_to_multiple_of=self._pad_multiple))
+        for i, batch in enumerate(self._val_batches):
             if limit is not None and i >= limit:
                 break
             stats = self._eval_step(params, self._put(batch_arrays(batch)),
