@@ -284,9 +284,20 @@ def main():
         return torch.from_numpy(np.ascontiguousarray(x)).long()
 
     def batch_dict(b):
-        return {"token_ids": tt(b.token_ids),
+        # Slice to LIVE rows. Our fixed-shape bucketed batches carry dead
+        # rows (num_tokens == 0) that our objective masks out; the
+        # reference's dynamic batcher only ever produced live rows, and its
+        # sample_z divides raw_kl by token_counts unguarded
+        # (continuous_autoencoder.py:47) — a dead row makes the loss Inf
+        # (measured: first dead-row batch is train step 141, and both the
+        # clip-150 and clip-5 reference runs diverged exactly there; see
+        # runs/ref-lstm-vae-parity/reference*.jsonl). Dropping dead rows is
+        # the faithful emulation of the reference's batch contract and
+        # leaves the objective on live rows bit-identical.
+        live = b.num_tokens > 0
+        return {"token_ids": tt(b.token_ids[live]),
                 "num_tokens": torch.from_numpy(
-                    np.ascontiguousarray(b.num_tokens)).float()}
+                    np.ascontiguousarray(b.num_tokens[live])).float()}
 
     def validate():
         """Mirror of VAEObjective.eval_stats/reduce_eval: token-weighted
