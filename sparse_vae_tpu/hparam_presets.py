@@ -19,6 +19,26 @@ materializes the full [B, L, 32768] logits tensor, which at the wikipedia
 preset's 50k-token documents is a 10 GB fp32 buffer — a guaranteed
 single-chip HBM OOM. Presets must run as shipped, so the chunked path is
 baked in rather than left to the CLI.
+
+Round-5 additions, each backed by a measured row in BASELINE.md:
+
+- `free_bits` on the VAE presets (beyond-reference). The reference's
+  objective collapses its posterior on real text (val_kl ~1e-4 nats/token
+  at every trained flagship configuration; its own mc_mutual_info logging
+  exists to watch this happen). The round-3 controlled pair measured the
+  per-dimension KL floor holding val_kl 23x above the collapsed control at
+  statistically identical NLL (`real-prose-fb`, free_bits=0.25, short
+  docs), so `wikipedia` ships 0.25. At pg19's 102,400-token documents a
+  per-dimension floor must be scaled to the DOCUMENT (round-4 lesson:
+  0.25/dim = 16 nats/doc = 1.6e-4 nats/token, semantically nothing), so
+  `pg19` ships free_bits=8.0 (>=512 nats/doc >= ~5e-3 nats/token — the
+  liveness bar the round-3 short-doc control hit).
+- `early_stopping_patience=12` on the VAE presets. Validation runs every
+  ~13-27 steps at these corpus/batch sizes, so the default patience of 3
+  is a noise-level window; the round-4 flagship run early-stopped
+  mid-KL-anneal because of it (the anneal-disarm fix in
+  training/trainer.py handles the anneal window; the widened patience
+  covers the post-anneal regime).
 """
 
 hparam_presets = {
@@ -159,13 +179,15 @@ hparam_presets = {
             kl_weight_start=0.1,
             kl_weight_end=1.0,
             kl_annealing_steps=8000,
+            free_bits=0.25,           # round-3 controlled pair: keeps the latent live at equal NLL
             latent_depth=64,
             lr=3e-4,
             num_layers=6,
             sparse_self_attention=True,
             tie_embedding_weights=True,
         ),
-        'trainer': dict(accumulate_grad_batches=2, val_check_interval=0.1),
+        'trainer': dict(accumulate_grad_batches=2, val_check_interval=0.1,
+                        early_stopping_patience=12),
     },
     'pg19': {
         'data': dict(
@@ -187,13 +209,15 @@ hparam_presets = {
             kl_weight_start=0.1,
             kl_weight_end=1.0,
             kl_annealing_steps=8000,
+            free_bits=8.0,            # per-DOCUMENT floor: >=512 nats/doc at 102,400 tokens (round-4 scaling lesson)
             latent_depth=64,
             lr=3e-4,
             num_layers=6,
             sparse_self_attention=True,
             tie_embedding_weights=True,
         ),
-        'trainer': dict(accumulate_grad_batches=4, val_check_interval=0.5),
+        'trainer': dict(accumulate_grad_batches=4, val_check_interval=0.5,
+                        early_stopping_patience=12),
     },
     'nonvae-pg19': {
         'data': dict(
