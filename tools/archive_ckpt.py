@@ -33,6 +33,15 @@ from pathlib import Path
 
 import numpy as np
 
+# Host-side tool: ALWAYS run on the CPU backend. The JAX_PLATFORMS=cpu env
+# var does not stick on this image (the axon sitecustomize re-registers the
+# tunnel backend), so a caller-supplied env is not enough — observed
+# 2026-08-20: the test-suite `restore` subprocess queued on the busy TPU
+# tunnel behind a training job and hung the whole suite. The programmatic
+# pin below is the one that works; it must land before any other jax call.
+import jax  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
+
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
