@@ -84,8 +84,15 @@ def main(args):
             return d_mod.apply({"params": d_params}, state, last, rng,
                                spec_k, method=type(d_mod).draft_propose)
 
-        draft_init = d_mod.apply({"params": d_params}, 1,
-                                 method=type(d_mod).initial_rnn_state)
+        d_cls = type(d_mod)
+        if hasattr(d_cls, "initial_rnn_state"):  # LSTM drafts: hidden state
+            draft_init = d_mod.apply({"params": d_params}, 1,
+                                     method=d_cls.initial_rnn_state)
+        else:  # transformer drafts: (decode caches, index), sized to cover
+            # the full generated length plus the final over-proposed chunk
+            draft_init = d_mod.apply({"params": d_params}, 1,
+                                     seq + spec_k + 2,
+                                     method=d_cls.draft_init_state)
 
     z = None
     if is_vae:
